@@ -1,0 +1,101 @@
+"""Attention primitives for TPU.
+
+Replaces the reference's torch SDPA / flash_attn / flex_attention trio
+(`diffnext/models/vision_transformer.py:63`, `models/flex_attention.py`,
+`text_encoders/phi.py:126-137`) with:
+
+- :func:`sdpa` — an XLA-fused reference implementation (fp32 softmax),
+- :func:`flash_attention` — a Pallas TPU kernel for the training hot path
+  (see ops/pallas/flash_attention.py), selected via ``impl=``,
+- KV-cache helpers for decode with *preallocated static-size* caches updated
+  by ``dynamic_update_slice`` (the torch.cat-growing cache at
+  `vision_transformer.py:55-60` is hostile to XLA's static shapes).
+"""
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def sdpa(q: jax.Array, k: jax.Array, v: jax.Array,
+         bias: Optional[jax.Array] = None,
+         scale: Optional[float] = None) -> jax.Array:
+    """Scaled dot-product attention. q,k,v: (B, H, L, D); bias broadcastable
+    to (B, H, Lq, Lk). Softmax in fp32 for bf16 inputs."""
+    scale = scale if scale is not None else q.shape[-1] ** -0.5
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    logits = logits.astype(jnp.float32)
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    # guard fully-masked rows (all -inf) against NaN softmax
+    probs = jax.nn.softmax(logits, axis=-1)
+    probs = jnp.where(jnp.isnan(probs), 0.0, probs).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+def attention(q: jax.Array, k: jax.Array, v: jax.Array,
+              bias: Optional[jax.Array] = None, impl: str = "auto") -> jax.Array:
+    """Dispatch to the best attention implementation for the platform."""
+    if impl in ("auto", "pallas"):
+        try:
+            from nova_pointcloud_tpu.ops.pallas.flash_attention import flash_attention
+
+            if impl == "pallas" or _use_pallas(q):
+                return flash_attention(q, k, v, bias=bias)
+        except Exception:
+            if impl == "pallas":
+                raise
+    return sdpa(q, k, v, bias)
+
+
+def _use_pallas(q: jax.Array) -> bool:
+    if jax.default_backend() != "tpu":
+        return False
+    # pallas kernel wants lane-aligned head dim and long-enough sequences
+    return q.shape[-1] % 128 == 0 and q.shape[-2] >= 256
+
+
+class KVCache(NamedTuple):
+    """Preallocated per-layer KV cache: k/v (B, H, S_max, D)."""
+
+    k: jax.Array
+    v: jax.Array
+
+    @classmethod
+    def create(cls, batch: int, num_heads: int, max_len: int, head_dim: int,
+               dtype=jnp.bfloat16) -> "KVCache":
+        shape = (batch, num_heads, max_len, head_dim)
+        return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+    def update(self, k_new: jax.Array, v_new: jax.Array,
+               index: jax.Array) -> "KVCache":
+        """Write new keys/values at [index : index+L)."""
+        k = jax.lax.dynamic_update_slice(self.k, k_new.astype(self.k.dtype),
+                                         (0, 0, index, 0))
+        v = jax.lax.dynamic_update_slice(self.v, v_new.astype(self.v.dtype),
+                                         (0, 0, index, 0))
+        return KVCache(k, v)
+
+
+def cached_attention(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
+                     cache: KVCache, index: jax.Array,
+                     bias: Optional[jax.Array] = None,
+                     ) -> Tuple[jax.Array, KVCache]:
+    """Decode attention over a static cache with a validity length mask.
+
+    ``index`` is the current fill position; queries attend to all cached
+    positions < index + L_new. Returns (output, updated cache).
+    """
+    lq = q.shape[2]
+    cache = cache.update(k_new, v_new, index)
+    max_len = cache.k.shape[2]
+    pos = jnp.arange(max_len)
+    length_bias = jnp.where(pos < index + lq, 0.0, -jnp.inf)[None, None, None, :]
+    if bias is not None:
+        pad = max_len - bias.shape[-1]
+        if pad:
+            bias = jnp.pad(bias, [(0, 0)] * (bias.ndim - 1) + [(0, pad)])
+        length_bias = length_bias + bias
+    out = sdpa(q, cache.k.astype(q.dtype), cache.v.astype(q.dtype), length_bias)
+    return out, cache

@@ -1,0 +1,154 @@
+"""Point-cloud and diffusion losses.
+
+Parity targets: the composite loss of the reference pc trainer
+(`/root/reference/train_newloss.py:316-555`): diffusion MSE + Chamfer +
+EMD + autoregressive subset-consistency. The reference computes EMD with a
+host-side Hungarian solve per batch (`train_newloss.py:368-376`) — a D2H
+round-trip per step. TPU-native: a Sinkhorn-regularized OT matching that runs
+on-device inside jit; the exact Hungarian stays available for *evaluation*
+(host numpy, mirrors `test_optimize.py:385-415`).
+"""
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nova_pointcloud_tpu.ops.pointops import exact_min_sqdist, pairwise_sqdist
+
+
+def chamfer_distance(pred: jax.Array, target: jax.Array,
+                     squared: bool = True) -> jax.Array:
+    """Symmetric Chamfer distance per batch element -> (B,).
+
+    Matches `train_newloss.py:316-349` (mean of min squared distances, both
+    directions). Exact fp32 (direct differences) so the loss's noise floor on
+    identical clouds is ~0, unlike the matmul-cdist shortcut.
+    """
+    fwd = exact_min_sqdist(pred, target)
+    bwd = exact_min_sqdist(target, pred)
+    if not squared:
+        fwd, bwd = jnp.sqrt(fwd + 1e-12), jnp.sqrt(bwd + 1e-12)
+    return jnp.mean(fwd, axis=1) + jnp.mean(bwd, axis=1)
+
+
+@partial(jax.jit, static_argnames=("num_iters",))
+def sinkhorn_emd(pred: jax.Array, target: jax.Array, epsilon: float = 0.02,
+                 num_iters: int = 50) -> jax.Array:
+    """Entropy-regularized EMD (Sinkhorn), on-device -> (B,).
+
+    Replaces the reference's host-side Hungarian EMD for training
+    (`train_newloss.py:352-377`); log-domain iterations for stability.
+    """
+    b, n, _ = pred.shape
+    m = target.shape[1]
+    cost = pairwise_sqdist(pred, target)  # (B, N, M)
+    log_mu = jnp.full((b, n), -np.log(n))
+    log_nu = jnp.full((b, m), -np.log(m))
+    f = jnp.zeros((b, n))
+    g = jnp.zeros((b, m))
+
+    def body(_, fg):
+        f, g = fg
+        # f_i = eps*(log mu_i - logsumexp_j((g_j - C_ij)/eps))
+        f = epsilon * (log_mu - jax.nn.logsumexp((g[:, None, :] - cost) / epsilon, axis=2))
+        g = epsilon * (log_nu - jax.nn.logsumexp((f[:, :, None] - cost) / epsilon, axis=1))
+        return f, g
+
+    f, g = jax.lax.fori_loop(0, num_iters, body, (f, g))
+    log_plan = (f[:, :, None] + g[:, None, :] - cost) / epsilon
+    plan = jnp.exp(log_plan)
+    return jnp.sum(plan * cost, axis=(1, 2))
+
+
+def hungarian_emd_host(pred: np.ndarray, target: np.ndarray) -> float:
+    """Exact EMD via scipy Hungarian; EVALUATION ONLY (host numpy).
+
+    Mirrors `test_optimize.py:385-415`: mean matched euclidean distance.
+    """
+    from scipy.optimize import linear_sum_assignment
+
+    d = np.linalg.norm(pred[:, None, :] - target[None, :, :], axis=-1)
+    row, col = linear_sum_assignment(d)
+    return float(d[row, col].mean())
+
+
+def density_weighted_chamfer(pred: jax.Array, target: jax.Array,
+                             k: int = 8) -> jax.Array:
+    """Chamfer with per-point density weights (`test_optimize.py:354-383`).
+
+    Sparse regions of the target get upweighted so thin structures count.
+    """
+    from nova_pointcloud_tpu.ops.pointops import local_density
+
+    density = local_density(target, k)  # (B, M); larger = sparser
+    w = density / (jnp.mean(density, axis=1, keepdims=True) + 1e-8)
+    fwd = jnp.mean(exact_min_sqdist(pred, target), axis=1)
+    bwd = jnp.mean(exact_min_sqdist(target, pred) * w, axis=1)
+    return fwd + bwd
+
+
+def ar_consistency_loss(points: jax.Array, subset_ids: jax.Array) -> jax.Array:
+    """Subset boundary smoothness -> scalar.
+
+    Parity with the AR-consistency term (`train_newloss.py:489-537`): for each
+    consecutive pair of subsets in generation order, penalize the mean
+    nearest-neighbor distance from one subset to the next.
+
+    points: (B, N, 3); subset_ids: (K, N//K) int32 partition.
+    """
+    k = subset_ids.shape[0]
+    subsets = jnp.take(points, subset_ids, axis=1)  # (B, K, N//K, 3)
+
+    def pair_loss(i, acc):
+        a, b = subsets[:, i], subsets[:, i + 1]
+        d2 = pairwise_sqdist(a, b)
+        return acc + jnp.mean(jnp.min(d2, axis=2))
+
+    total = jax.lax.fori_loop(0, k - 1, pair_loss, jnp.float32(0.0))
+    return total / (k - 1)
+
+
+def composite_pointcloud_loss(
+    model_pred: jax.Array,
+    noise_target: jax.Array,
+    pred_points: jax.Array,
+    target_points: jax.Array,
+    subset_ids: Optional[jax.Array] = None,
+    weights: Dict[str, float] = None,
+) -> Dict[str, jax.Array]:
+    """The reference composite loss (`train_newloss.py:395-555`).
+
+    0.85*diffusion-MSE + 0.12*Chamfer + 0.08*EMD(+0.2*AR consistency).
+    Returns a dict of scalar components plus "loss" (the weighted sum).
+    """
+    w = {"diffusion": 0.85, "chamfer": 0.12, "emd": 0.08, "ar": 0.2}
+    w.update(weights or {})
+    out = {
+        "loss_diffusion": jnp.mean((model_pred.astype(jnp.float32)
+                                    - noise_target.astype(jnp.float32)) ** 2),
+        "loss_chamfer": jnp.mean(chamfer_distance(pred_points, target_points)),
+        "loss_emd": jnp.mean(sinkhorn_emd(pred_points, target_points)),
+    }
+    loss = (w["diffusion"] * out["loss_diffusion"]
+            + w["chamfer"] * out["loss_chamfer"] + w["emd"] * out["loss_emd"])
+    if subset_ids is not None:
+        out["loss_ar"] = ar_consistency_loss(pred_points, subset_ids)
+        loss = loss + w["ar"] * out["loss_ar"]
+    out["loss"] = loss
+    return out
+
+
+def masked_diffusion_mse(model_pred: jax.Array, target: jax.Array,
+                         mask: jax.Array) -> jax.Array:
+    """Token-wise diffusion MSE with mask weighting (`transformer_3d.py:92-95`).
+
+    Per-token MSE over channels, weighted by mask (1 = predicted token),
+    normalized by mask sum.
+    """
+    loss = (model_pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2
+    loss = jnp.mean(loss, axis=-1, keepdims=True)
+    weight = mask.astype(loss.dtype)
+    return jnp.sum(loss * weight) / (jnp.sum(weight) + 1e-5)
