@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Flagship benchmark: 2048-point text-to-point-cloud at 0.6B, samples/sec/chip.
+
+Metric (BASELINE.json): samples/sec/chip for 2048-pt t2pc at 0.6B + p50
+latency per sample. The pipeline measured is the full parity path of
+`pipeline_nova_pointcloud_gen.py`: CFG x2 DDPM with 25 diffusion steps,
+postprocess, colors — all one jitted program on one chip.
+
+vs_baseline: the reference publishes NO throughput numbers (BASELINE.md), so
+the baseline is an analytic H100 estimate for the same workload in the
+reference's eager-PyTorch fp16 path:
+  FLOPs/sample = 2 passes(CFG) x 25 steps x 2(fwd mult-add) x 12*d^2*L x N_tok
+  pc_d48w1024, 128 tokens -> ~7.7 TFLOP/sample; eager torch SDPA at 128-token
+  sequences on H100 is launch-/bandwidth-bound; we credit it a generous 25%
+  MFU of 990 fp16 TFLOPs -> ~32 samples/sec. vs_baseline = value / 32.
+Prints ONE JSON line.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+H100_EST_SAMPLES_PER_SEC = 32.0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dry-run", action="store_true",
+                    help="tiny model / 2 steps, CI smoke")
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--steps", type=int, default=25)
+    ap.add_argument("--points", type=int, default=2048)
+    ap.add_argument("--repeats", type=int, default=5)
+    args = ap.parse_args()
+
+    from nova_pointcloud_tpu.models.pointcloud import NOVAPointCloudTransformer
+    from nova_pointcloud_tpu.models.text_encoders.dummy import DummyTextEncoder
+    from nova_pointcloud_tpu.pipelines.pointcloud_gen import (
+        NOVAPointCloudGenerationPipeline)
+    from nova_pointcloud_tpu.schedulers import DDPMScheduler
+
+    if args.dry_run:
+        # CI smoke must not depend on the TPU tunnel (the host sitecustomize
+        # clobbers JAX_PLATFORMS=cpu, so override via jax.config)
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+    on_tpu = jax.default_backend() == "tpu"
+    if args.dry_run:
+        arch, batch, steps, points = "pc_d2w64", 2, 2, 256
+    else:
+        arch, batch, steps, points = "pc_d48w1024", args.batch, args.steps, args.points
+
+    model = NOVAPointCloudTransformer(
+        arch=arch, point_cloud_size=points, patch_size=16 if not args.dry_run else 1,
+        text_token_dim=256, dropout=0.0,
+        dtype=jnp.bfloat16 if on_tpu else None)
+    x = jnp.zeros((batch, points, 3))
+    t = jnp.zeros((batch,), jnp.int32)
+    text = jnp.zeros((batch, 32, 256))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x, t, text)["params"]
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    print(f"# arch={arch} params={n_params/1e6:.1f}M batch={batch} "
+          f"steps={steps} points={points} backend={jax.default_backend()}",
+          file=sys.stderr)
+
+    pipe = NOVAPointCloudGenerationPipeline(
+        model, params, DDPMScheduler(beta_schedule="squaredcos_cap_v2"),
+        text_encoder=DummyTextEncoder(256, 32))
+    prompts = [f"a chair {i}" for i in range(batch)]
+
+    def run(key):
+        out = pipe(prompts, num_points=points, num_diffusion_steps=steps,
+                   guidance_scale=7.5, key=key, output_type="jax")
+        jax.block_until_ready(out.point_clouds)
+        return out
+
+    t0 = time.perf_counter()
+    run(jax.random.PRNGKey(0))  # compile
+    compile_s = time.perf_counter() - t0
+    times = []
+    for i in range(args.repeats):
+        t0 = time.perf_counter()
+        run(jax.random.PRNGKey(i + 1))
+        times.append(time.perf_counter() - t0)
+    p50_batch = float(np.percentile(times, 50))
+    samples_per_sec = batch / p50_batch
+    p50_latency_ms = p50_batch / batch * 1000
+    print(f"# compile={compile_s:.1f}s p50_batch={p50_batch*1000:.1f}ms "
+          f"p50/sample={p50_latency_ms:.2f}ms", file=sys.stderr)
+    print(json.dumps({
+        "metric": "t2pc_2048pt_0.6B_samples_per_sec_per_chip",
+        "value": round(samples_per_sec, 3),
+        "unit": "samples/sec/chip",
+        "vs_baseline": round(samples_per_sec / H100_EST_SAMPLES_PER_SEC, 3),
+        "p50_latency_ms_per_sample": round(p50_latency_ms, 3),
+        "batch": batch, "diffusion_steps": steps, "points": points,
+        "params_m": round(n_params / 1e6, 1),
+        "backend": jax.default_backend(),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,58 @@
+"""Checkpoint save / resume-latest via Orbax.
+
+Parity with the reference's two checkpoint systems (SURVEY.md §5):
+- diffnext layout: ``{output_dir}/checkpoints/checkpoint-{step}`` plus an EMA
+  tree beside it (`train_engine.py:67-79`), resumed by scanning for the
+  latest step (`scripts/train.py:27-44`)
+- pc fork sidecar: normalizer stats.json (`train_newloss.py:267-286`)
+"""
+
+import os
+import re
+from typing import Any, Dict, Optional
+
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    """Thin Orbax wrapper with reference-compatible directory naming."""
+
+    def __init__(self, output_dir: str, max_to_keep: int = 3):
+        self.root = os.path.join(os.path.abspath(output_dir), "checkpoints")
+        os.makedirs(self.root, exist_ok=True)
+        self.checkpointer = ocp.StandardCheckpointer()
+        self.max_to_keep = max_to_keep
+
+    def _path(self, step: int) -> str:
+        return os.path.join(self.root, f"checkpoint-{step}")
+
+    def latest_step(self) -> Optional[int]:
+        steps = []
+        for name in os.listdir(self.root) if os.path.isdir(self.root) else []:
+            m = re.fullmatch(r"checkpoint-(\d+)", name)
+            if m:
+                steps.append(int(m.group(1)))
+        return max(steps) if steps else None
+
+    def save(self, step: int, state: Dict[str, Any]):
+        path = self._path(step)
+        self.checkpointer.save(path, state, force=True)
+        self.checkpointer.wait_until_finished()
+        self._cleanup()
+
+    def restore(self, step: Optional[int] = None,
+                template: Optional[Dict[str, Any]] = None) -> Optional[Dict]:
+        step = self.latest_step() if step is None else step
+        if step is None:
+            return None
+        restored = self.checkpointer.restore(self._path(step), template)
+        return {"step": step, "state": restored}
+
+    def _cleanup(self):
+        steps = sorted(s for s in (int(m.group(1)) for m in
+                                   (re.fullmatch(r"checkpoint-(\d+)", n)
+                                    for n in os.listdir(self.root)) if m))
+        for s in steps[: -self.max_to_keep]:
+            import shutil
+
+            shutil.rmtree(self._path(s), ignore_errors=True)

@@ -151,22 +151,22 @@ class VideoPosEmbed(nn.Module):
     dim: int
     base_size: Tuple[int, int, int] = (16, 16, 16)  # (t, h, w)
 
+    def setup(self):
+        self.time_fc1 = nn.Dense(self.dim, name="time_fc1")
+        self.time_fc2 = nn.Dense(self.dim, name="time_fc2")
+        self.time_norm = nn.LayerNorm(name="time_norm")
+
     def time_embed(self, num_frames: int) -> jax.Array:
         """(num_frames, 1, dim) learned projection of time sincos."""
         sincos = jnp.asarray(sincos_time(num_frames, self.base_size[0]))
-        h = nn.Dense(self.dim, name="time_fc1")(sincos)
-        h = nn.Dense(self.dim, name="time_fc2")(nn.silu(h))
-        return nn.LayerNorm(name="time_norm")(h)
+        return self.time_norm(self.time_fc2(nn.silu(self.time_fc1(sincos))))
 
-    @nn.compact
     def __call__(self, x: jax.Array, hw: Optional[Tuple[int, int]] = None,
                  add_time: bool = True) -> jax.Array:
         # x: (B, T, N, D) or (B, N, D)
         if x.ndim == 4 and add_time:
             te = self.time_embed(x.shape[1])
             x = x + te[None].astype(x.dtype)
-        elif add_time:
-            self.time_embed(1)  # materialize params regardless of rank
         h, w = hw or self.base_size[1:]
         table = jnp.asarray(sincos_2d(self.dim, h, w, self.base_size[1:]))
         return x + table.astype(x.dtype)
@@ -233,8 +233,10 @@ class PatchEmbed(nn.Module):
     patch_size: int
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, pre_patchified: bool = False) -> jax.Array:
         # (B, H, W, C) or (B, T, H, W, C) -> tokens (B[, T], N, D)
+        if pre_patchified:  # (B, N, p*p*C) already in patch space
+            return nn.Dense(self.embed_dim, name="proj")(x)
         video = x.ndim == 5
         if video:
             b, t = x.shape[:2]
@@ -264,9 +266,14 @@ class TextEmbed(nn.Module):
     dropout: float = 0.1
     max_positions: int = 512
 
+    def setup(self):
+        self.null_prompt = self.param("null_prompt", nn.initializers.normal(0.02),
+                                      (self.max_positions, self.token_dim))
+        self.proj = nn.Dense(self.embed_dim, name="proj")
+        self.norm = nn.LayerNorm(name="norm")
+
     def null_bank(self) -> jax.Array:
-        return self.param("null_prompt", nn.initializers.normal(0.02),
-                          (self.max_positions, self.token_dim))
+        return self.null_prompt
 
     def pad_embeds(self, embeds: jax.Array, lengths: Optional[jax.Array] = None) -> jax.Array:
         """Replace positions >= length with the null bank rows."""
@@ -287,10 +294,8 @@ class TextEmbed(nn.Module):
         drop = jax.random.uniform(rng, (embeds.shape[0], 1, 1)) < self.dropout
         return jnp.where(drop, bank[None], embeds)
 
-    @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        h = nn.Dense(self.embed_dim, name="proj")(x)
-        return nn.LayerNorm(name="norm")(h)
+        return self.norm(self.proj(x))
 
 
 class LabelEmbed(nn.Module):

@@ -19,7 +19,7 @@ class AdaLayerNormZero(nn.Module):
     dim: int
     rank: Optional[int] = None
     num_stats: int = 2
-    eps: float = 1e-6
+    eps: Optional[float] = 1e-6  # None = no normalization (`normalization.py:31`)
 
     @nn.compact
     def __call__(self, x: jax.Array, z: jax.Array) -> Tuple[jax.Array, Tuple[jax.Array, ...]]:
@@ -29,7 +29,8 @@ class AdaLayerNormZero(nn.Module):
         stats = nn.Dense(self.num_stats * self.dim, name="proj",
                          kernel_init=nn.initializers.zeros)(h)
         stats = tuple(jnp.split(stats, self.num_stats, axis=-1))
-        y = nn.LayerNorm(epsilon=self.eps, use_bias=False, use_scale=False)(x)
+        y = x if self.eps is None else nn.LayerNorm(
+            epsilon=self.eps, use_bias=False, use_scale=False)(x)
         y = y * (1.0 + stats[0]) + stats[1]
         return y, stats[2:]
 
@@ -39,7 +40,7 @@ class AdaLayerNorm(nn.Module):
 
     dim: int
     rank: Optional[int] = None
-    eps: float = 1e-6
+    eps: Optional[float] = 1e-6
 
     @nn.compact
     def __call__(self, x: jax.Array, z: jax.Array) -> jax.Array:

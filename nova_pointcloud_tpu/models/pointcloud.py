@@ -1,0 +1,297 @@
+"""Point-cloud diffusion transformers.
+
+Rebuilds the capabilities of the reference pc fork
+(`diffnext/models/transformers/transformer_pointcloud_nova.py`):
+- NOVAPointCloudTransformer (`:533-786`): per-point/patch embedding, learned
+  positions, learnable 8-center soft spatial clustering (cdist -> softmax ->
+  weighted centers -> MLP -> cross-cluster attention -> broadcast), time +
+  text conditioning, pre-LN encoder stack, linear head to xyz
+- depth-aware sincos 3D positional encoding (`:349-389`)
+- EdgeAligner (`:155-223`) and subset-level AutoregressiveDiffusion
+  (`:226-302`) for the dynamic-partition AR generation mode
+
+Intent-over-bug deviations (SURVEY.md §7 "reference bugs to not replicate"):
+- cluster coordinates are the real patch-mean xyz, not the first 3 channels of
+  the 768-d embedding (`:721`),
+- the timestep enters through a sinusoidal frequency embed rather than a raw
+  Linear(1, D) of t in [0, 1000) (`:600-604`),
+- with patching, the head emits patch_size*3 per token so the output point
+  count equals the input count (`:444,512-515` silently shrinks the cloud),
+- text conditioning mean-pools the prompt tokens, as the trained fork models
+  do (`demo.py:281-291`); `:765` references an undefined text_pos_embed.
+
+Registry arches follow `:37-60` plus larger flagship sizes for the
+0.6B / 1.4B benchmark configs.
+"""
+
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from nova_pointcloud_tpu.models.embeddings import timestep_freq_embed
+from nova_pointcloud_tpu.ops.pointops import cdist, knn
+
+# name -> (depth, embed_dim, num_heads); pc_d8w768 matches the trained fork
+# model (`transformer_pointcloud_nova.py:590-598`), d32* the registry
+# (`:37-47`), d48* the NOVA-scale flagships (BASELINE.json configs).
+PC_ARCHES = {
+    "pc_d8w768": (8, 768, 12),
+    "pc_d32w768": (32, 768, 12),
+    "pc_d32w1024": (32, 1024, 16),
+    "pc_d32w1536": (32, 1536, 16),
+    "pc_d48w768": (48, 768, 12),
+    "pc_d48w1024": (48, 1024, 16),
+    "pc_d48w1536": (48, 1536, 16),
+    "pc_d2w64": (2, 64, 2),  # tests
+}
+
+
+class DepthAwarePosEncoding(nn.Module):
+    """Sincos encoding of xyz with learnable per-axis scales (`:349-389`)."""
+
+    embed_dim: int
+
+    @nn.compact
+    def __call__(self, coords: jax.Array) -> jax.Array:
+        scales = self.param("axis_scales", nn.initializers.ones, (3,))
+        scaled = coords * scales.astype(coords.dtype)
+        d6 = self.embed_dim // 6
+        div = (10000.0 ** (jnp.arange(d6, dtype=jnp.float32) * 6 / self.embed_dim))
+        parts = []
+        for axis in range(3):
+            angle = scaled[..., axis:axis + 1] / div
+            parts += [jnp.sin(angle), jnp.cos(angle)]
+        pe = jnp.concatenate(parts, axis=-1)
+        pad = self.embed_dim - pe.shape[-1]
+        if pad:
+            pe = jnp.pad(pe, [(0, 0)] * (pe.ndim - 1) + [(0, pad)])
+        return pe
+
+
+class ClusterBlock(nn.Module):
+    """Learnable soft spatial clustering (`:567-587,718-756`).
+
+    coords (B, N, 3) -> one global cluster summary (B, 1, D): soft-assign
+    points to K learnable centers, form weighted center xyz per cluster,
+    lift via MLP, mix clusters with self-attention, mean-pool.
+    """
+
+    embed_dim: int
+    num_heads: int
+    num_clusters: int = 8
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, coords: jax.Array, deterministic: bool = True) -> jax.Array:
+        centers = self.param("cluster_centers", nn.initializers.normal(0.1),
+                             (self.num_clusters, 3))
+        d = cdist(coords, jnp.broadcast_to(centers[None],
+                                           (coords.shape[0],) + centers.shape))
+        w = jax.nn.softmax(-d, axis=-1)  # (B, N, K)
+        wsum = jnp.sum(w, axis=1) + 1e-8  # (B, K)
+        wcenters = jnp.einsum("bnk,bnd->bkd", w, coords) / wsum[..., None]
+        h = nn.Dense(64, name="feat_fc1")(wcenters)
+        h = nn.Dropout(0.1, deterministic=deterministic)(
+            nn.relu(nn.LayerNorm(name="feat_ln1")(h)))
+        h = nn.LayerNorm(name="feat_ln2")(nn.Dense(self.embed_dim, name="feat_fc2")(h))
+        h = nn.MultiHeadDotProductAttention(
+            self.num_heads, dtype=self.dtype, name="cluster_attn")(h, h)
+        h = nn.Dense(self.embed_dim, dtype=self.dtype, name="out_proj")(h)
+        return jnp.mean(h, axis=1, keepdims=True)  # (B, 1, D)
+
+
+class PreLNBlock(nn.Module):
+    """norm_first TransformerEncoderLayer equivalent (`:590-598`)."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dropout: float = 0.1
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        h = nn.LayerNorm(name="norm1")(x)
+        h = nn.MultiHeadDotProductAttention(
+            self.num_heads, dropout_rate=self.dropout, dtype=self.dtype,
+            deterministic=deterministic, name="attn")(h, h)
+        x = x + nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        h = nn.LayerNorm(name="norm2")(x)
+        h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="fc1")(h)
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(
+            nn.gelu(h, approximate=False))
+        h = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(h)
+        return x + nn.Dropout(self.dropout, deterministic=deterministic)(h)
+
+
+class NOVAPointCloudTransformer(nn.Module):
+    """Unified pc diffusion backbone; (B, N, 3) noisy points -> (B, N, 3) pred."""
+
+    arch: str = "pc_d8w768"
+    point_cloud_size: int = 2048
+    patch_size: int = 1  # points per token; 1 = per-point like the fork model
+    text_token_dim: Optional[int] = None
+    num_clusters: int = 8
+    use_depth_pe: bool = False
+    dropout: float = 0.1
+    remat: bool = False
+    dtype: Any = None
+
+    @property
+    def num_tokens(self) -> int:
+        return self.point_cloud_size // self.patch_size
+
+    @property
+    def dims(self) -> Tuple[int, int, int]:
+        return PC_ARCHES[self.arch]
+
+    @nn.compact
+    def __call__(self, x: jax.Array, timestep: jax.Array,
+                 text_embeds: Optional[jax.Array] = None,
+                 deterministic: bool = True) -> jax.Array:
+        depth, dim, heads = self.dims
+        b, n, _ = x.shape
+        p = self.patch_size
+        tok = x.reshape(b, n // p, p * 3)
+        coords = jnp.mean(x.reshape(b, n // p, p, 3), axis=2)  # patch centers
+
+        h = nn.Dense(dim, dtype=self.dtype, name="point_embed")(tok)
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (1, self.num_tokens, dim))
+        h = h + pos[:, : h.shape[1]].astype(h.dtype)
+        if self.use_depth_pe:
+            h = h + DepthAwarePosEncoding(dim, name="depth_pe")(coords).astype(h.dtype)
+
+        h = h + ClusterBlock(dim, heads, self.num_clusters, dtype=self.dtype,
+                             name="cluster")(coords, deterministic).astype(h.dtype)
+
+        t_freq = timestep_freq_embed(timestep.astype(jnp.float32), 256)
+        t_emb = nn.Dense(dim, dtype=self.dtype, name="time_fc1")(t_freq.astype(h.dtype))
+        t_emb = nn.Dense(dim, dtype=self.dtype, name="time_fc2")(nn.silu(t_emb))
+        h = h + t_emb[:, None, :]
+
+        if text_embeds is not None and self.text_token_dim:
+            t = nn.Dense(dim, dtype=self.dtype, name="text_embed")(text_embeds)
+            h = h + jnp.mean(t, axis=1, keepdims=True)
+
+        block_cls = nn.remat(PreLNBlock, static_argnums=(2,)) if self.remat \
+            else PreLNBlock
+        for i in range(depth):
+            h = block_cls(dim, heads, dropout=self.dropout, dtype=self.dtype,
+                          name=f"blocks_{i}")(h, deterministic)
+
+        out = nn.Dense(p * 3, dtype=self.dtype, name="output_proj",
+                       kernel_init=nn.initializers.xavier_uniform())(h)
+        return out.reshape(b, n, 3).astype(jnp.float32)
+
+
+class EdgeAligner(nn.Module):
+    """Cross-subset boundary blending (`:155-223`).
+
+    Edge feature per point = feature - mean(kNN neighbor features); current
+    subset queries the union of neighbor-subset edge features via attention;
+    adds a linear lift of the xyz coordinates.
+    """
+
+    embed_dim: int
+    num_heads: int = 8
+    k: int = 8
+    dtype: Any = None
+
+    def edge_features(self, points: jax.Array, feats: jax.Array) -> jax.Array:
+        k = min(self.k, points.shape[1])
+        _, idx = knn(points, points, k)  # (B, N, k)
+        neigh = jax.vmap(lambda f, i: f[i])(feats, idx)  # (B, N, k, D)
+        return feats - jnp.mean(neigh, axis=2)
+
+    @nn.compact
+    def __call__(self, cur_points: jax.Array, cur_feats: jax.Array,
+                 neigh_points: jax.Array, neigh_feats: jax.Array,
+                 neigh_valid: Optional[jax.Array] = None) -> jax.Array:
+        """neigh_* are concatenated neighbor subsets (B, M, ...); ``neigh_valid``
+        (B, M) masks not-yet-generated slots (static-shape AR)."""
+        cur_edge = self.edge_features(cur_points, cur_feats)
+        neigh_edge = self.edge_features(neigh_points, neigh_feats)
+        mask = None
+        if neigh_valid is not None:
+            mask = neigh_valid[:, None, None, :] > 0  # (B, 1, 1, M)
+        aligned = nn.MultiHeadDotProductAttention(
+            self.num_heads, dtype=self.dtype, name="biattn")(
+            cur_edge, neigh_edge, mask=mask)
+        spatial = nn.Dense(self.embed_dim, dtype=self.dtype,
+                           name="spatial_embed")(cur_points)
+        return aligned + spatial
+
+
+class ARSubsetDiffusion(nn.Module):
+    """Subset-level autoregressive conditioning (`:226-302`).
+
+    Aggregates previously generated subsets into a global context token via
+    self-attention, edge-aligns the current subset against them, and adds a
+    subset-progress time embedding before the base transformer runs.
+    """
+
+    embed_dim: int
+    num_heads: int = 12
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, cur_feats: jax.Array, gen_feats: jax.Array,
+                 progress: jax.Array, cur_points: jax.Array,
+                 gen_points: jax.Array, gen_valid: jax.Array) -> jax.Array:
+        """cur_feats (B, S, D); gen_feats (B, M, D) concat of generated subsets
+        (padded), gen_valid (B, M). Returns conditioned features (B, S, D)."""
+        mask = gen_valid[:, None, None, :] > 0
+        agg = nn.MultiHeadDotProductAttention(
+            self.num_heads, dtype=self.dtype, name="biattn")(
+            gen_feats, gen_feats, mask=mask & (gen_valid[:, None, :, None] > 0))
+        denom = jnp.sum(gen_valid, axis=1, keepdims=True)[..., None] + 1e-8
+        context = jnp.sum(agg * gen_valid[..., None], axis=1, keepdims=True) / denom
+
+        t_emb = nn.Dense(self.embed_dim, dtype=self.dtype, name="time_fc1")(
+            progress[..., None].astype(cur_feats.dtype))
+        t_emb = nn.Dense(self.embed_dim, dtype=self.dtype, name="time_fc2")(
+            nn.silu(t_emb))
+
+        aligned = EdgeAligner(self.embed_dim, 8, dtype=self.dtype,
+                              name="edge_aligner")(
+            cur_points, cur_feats, gen_points, gen_feats, gen_valid)
+        has_any = (jnp.sum(gen_valid, axis=1) > 0).astype(cur_feats.dtype)
+        has_any = has_any[:, None, None]
+        out = cur_feats + aligned * has_any + context * has_any
+        return out + t_emb[:, None, :] if t_emb.ndim == 2 else out + t_emb
+
+
+class ARRefiner(nn.Module):
+    """Subset AR refinement head for dynamic-partition generation.
+
+    Working-shape realization of the reference's AR generation intent
+    (`transformer_pointcloud_nova.py:641-700`, whose shipped path mixes 3-dim
+    points into 768-dim attention): lift subset points to the embed dim,
+    condition on previously generated subsets (context attention + edge
+    alignment + progress embed), run a small pre-LN stack, and emit refined
+    xyz as a residual on the input points.
+    """
+
+    embed_dim: int = 256
+    num_heads: int = 8
+    depth: int = 2
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, cur_points: jax.Array, gen_points: jax.Array,
+                 gen_valid: jax.Array, progress: jax.Array) -> jax.Array:
+        lift = nn.Dense(self.embed_dim, dtype=self.dtype, name="lift")
+        cur_feats = lift(cur_points)
+        gen_feats = lift(gen_points)
+        h = ARSubsetDiffusion(self.embed_dim, self.num_heads, dtype=self.dtype,
+                              name="ar")(cur_feats, gen_feats, progress,
+                                         cur_points, gen_points, gen_valid)
+        for i in range(self.depth):
+            h = PreLNBlock(self.embed_dim, self.num_heads, dropout=0.0,
+                           dtype=self.dtype, name=f"blocks_{i}")(h, True)
+        delta = nn.Dense(3, dtype=self.dtype, name="head",
+                         kernel_init=nn.initializers.zeros)(h)
+        return cur_points + delta.astype(cur_points.dtype)

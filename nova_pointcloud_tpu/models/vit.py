@@ -17,7 +17,7 @@ TPU-first differences:
   dynamic_update_slice (ops/attention.py)
 """
 
-from typing import List, Optional, Tuple
+from typing import Any, List, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -31,11 +31,12 @@ from nova_pointcloud_tpu.ops.attention import KVCache, attention, cached_attenti
 class MLP(nn.Module):
     dim: int
     mlp_ratio: float = 4.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        h = nn.Dense(int(self.dim * self.mlp_ratio), name="fc1")(x)
-        return nn.Dense(self.dim, name="fc2")(nn.gelu(h, approximate=False))
+        h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="fc1")(x)
+        return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(nn.gelu(h, approximate=False))
 
 
 class Attention(nn.Module):
@@ -43,6 +44,7 @@ class Attention(nn.Module):
     num_heads: int
     qkv_bias: bool = True
     attn_impl: str = "auto"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array, bias: Optional[jax.Array] = None,
@@ -52,7 +54,7 @@ class Attention(nn.Module):
                  ) -> Tuple[jax.Array, Optional[KVCache]]:
         b, l, _ = x.shape
         head_dim = self.dim // self.num_heads
-        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, name="qkv")(x)
+        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(b, l, 3, self.num_heads, head_dim)
         q, k, v = [qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3)]
         if rope is not None:
@@ -63,7 +65,7 @@ class Attention(nn.Module):
         else:
             o = attention(q, k, v, bias, impl=self.attn_impl)
         o = o.transpose(0, 2, 1, 3).reshape(b, l, self.dim)
-        return nn.Dense(self.dim, name="proj")(o), cache
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(o), cache
 
 
 class Block(nn.Module):
@@ -74,14 +76,15 @@ class Block(nn.Module):
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
     attn_impl: str = "auto"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, bias=None, rope=None, cache=None, cache_index=None):
         attn = Attention(self.dim, self.num_heads, self.qkv_bias,
-                         self.attn_impl, name="attn")
+                         self.attn_impl, dtype=self.dtype, name="attn")
         h, cache = attn(x, bias, rope, cache, cache_index)
         x = x + nn.LayerNorm(name="norm1")(h)
-        x = x + nn.LayerNorm(name="norm2")(MLP(self.dim, self.mlp_ratio, name="mlp")(x))
+        x = x + nn.LayerNorm(name="norm2")(MLP(self.dim, self.mlp_ratio, dtype=self.dtype, name="mlp")(x))
         return x, cache
 
 
@@ -100,6 +103,7 @@ class VisionTransformer(nn.Module):
     encoder_depth: Optional[int] = None
     attn_impl: str = "auto"
     remat: bool = False
+    dtype: Any = None
 
     @property
     def enc_depth(self) -> int:
@@ -128,12 +132,13 @@ class VisionTransformer(nn.Module):
             enc_bias = vis_bias if bias is None else bias + vis_bias
 
         block = lambda i: Block(self.embed_dim, self.num_heads, self.mlp_ratio,  # noqa: E731
-                                attn_impl=self.attn_impl, name=f"blocks_{i}")
+                                attn_impl=self.attn_impl, dtype=self.dtype,
+                                name=f"blocks_{i}")
         if self.remat and caches is None:
             block_cls = nn.remat(Block, static_argnums=())
             block = lambda i: block_cls(self.embed_dim, self.num_heads,  # noqa: E731
                                         self.mlp_ratio, attn_impl=self.attn_impl,
-                                        name=f"blocks_{i}")
+                                        dtype=self.dtype, name=f"blocks_{i}")
 
         new_caches = [] if caches is not None else None
         for i in range(self.enc_depth):

@@ -1,0 +1,8 @@
+from nova_pointcloud_tpu.parallel.mesh import create_mesh, local_shard_indices  # noqa: F401
+from nova_pointcloud_tpu.parallel.sharding import (  # noqa: F401
+    batch_sharding,
+    make_sharded_train_step,
+    opt_state_sharding,
+    param_sharding,
+    tp_spec_for_param,
+)

@@ -1,0 +1,136 @@
+"""Sharding rules + sharded train step (DP / ZeRO / TP over a Mesh).
+
+The reference's parallelism inventory (SURVEY.md §2.6) maps to:
+- DeepSpeed ZeRO-2 (`accelerate_configs/8_gpus_zero2.yaml`):
+  params replicated, Adam moments sharded over "data"
+  (``opt_state_sharding``) — XLA inserts the reduce-scatter/all-gather.
+- grad all-reduce: implicit from data-sharded batch + replicated params.
+- TP (new capability for d48w1536, BASELINE north-star): attention qkv/out
+  and MLP hidden dims sharded over "tensor" (``tp_spec_for_param``).
+- metric gather (`train_engine.py:127`): jnp.mean under jit = a psum.
+
+No communication code is written anywhere — only PartitionSpecs.
+"""
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _path_str(path) -> str:
+    return "/".join(getattr(k, "key", str(k)) for k in path)
+
+
+def tp_spec_for_param(path_str: str, value: jax.Array, mesh: Mesh,
+                      axis: str = "tensor") -> P:
+    """Megatron-style TP PartitionSpec for a parameter by name/shape.
+
+    Column-parallel (shard output dim): qkv projections, MLP fc1.
+    Row-parallel (shard input dim): attention out-proj, MLP fc2.
+    Everything else replicated.
+    """
+    size = mesh.shape.get(axis, 1)
+    if size <= 1 or value.ndim < 2:
+        return P()
+    col = any(f"{n}/kernel" in path_str for n in
+              ("qkv", "fc1", "query", "key", "value"))
+    row = ("proj/kernel" in path_str and "attn" in path_str) or \
+        ("fc2/kernel" in path_str) or ("out/kernel" in path_str)
+    if col and value.shape[-1] % size == 0:
+        return P(*([None] * (value.ndim - 1) + [axis]))
+    if row and value.shape[0] % size == 0:
+        return P(*([axis] + [None] * (value.ndim - 1)))
+    return P()
+
+
+def param_sharding(params, mesh: Mesh, tp_axis: str = "tensor"):
+    """NamedSharding tree for params: TP specs where they apply, else replicated."""
+    def spec(path, v):
+        return NamedSharding(mesh, tp_spec_for_param(_path_str(path), v, mesh,
+                                                     tp_axis))
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def _zero_spec(value: jax.Array, mesh: Mesh, axis: str) -> P:
+    """Shard the largest divisible dim of an optimizer-state leaf over ``axis``."""
+    size = mesh.shape.get(axis, 1)
+    if size <= 1 or value.ndim == 0:
+        return P()
+    dims = sorted(range(value.ndim), key=lambda d: -value.shape[d])
+    for d in dims:
+        if value.shape[d] % size == 0 and value.shape[d] >= size:
+            spec = [None] * value.ndim
+            spec[d] = axis
+            return P(*spec)
+    return P()
+
+
+def opt_state_sharding(opt_state, mesh: Mesh, axis: str = "data"):
+    """ZeRO-style optimizer-state sharding over the data axis.
+
+    The TPU-native equivalent of DeepSpeed ZeRO-2 (SURVEY.md §2.6): Adam
+    m/v live sharded; XLA reduce-scatters grads into the update and
+    all-gathers fresh params.
+    """
+    def spec(v):
+        if not hasattr(v, "ndim"):
+            return NamedSharding(mesh, P())
+        return NamedSharding(mesh, _zero_spec(v, mesh, axis))
+
+    return jax.tree_util.tree_map(spec, opt_state)
+
+
+def batch_sharding(mesh: Mesh, ndim: int, axis: str = "data"):
+    return NamedSharding(mesh, P(*([axis] + [None] * (ndim - 1))))
+
+
+def make_sharded_train_step(
+    loss_fn: Callable[..., Tuple[jax.Array, Dict[str, jax.Array]]],
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    params,
+    tp_axis: str = "tensor",
+    zero_axis: str = "data",
+    donate: bool = True,
+):
+    """Build (init_fn, step_fn) with DP + ZeRO + TP shardings.
+
+    ``loss_fn(params, batch, key) -> (loss, metrics)``. The returned step is
+    jitted with explicit in/out shardings; per-device batches enter sharded on
+    the data axis and metrics come back fully reduced (XLA psum).
+    """
+    p_shard = param_sharding(params, mesh, tp_axis)
+
+    def init_fn(params):
+        return optimizer.init(params)
+
+    opt_state = jax.eval_shape(init_fn, params)
+    o_shard = opt_state_sharding(opt_state, mesh, zero_axis)
+
+    def step(params, opt_state, batch, key):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, key)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics = dict(metrics, loss=loss)
+        return params, opt_state, metrics
+
+    jit_init = jax.jit(init_fn, out_shardings=o_shard)
+    jit_step = jax.jit(
+        step,
+        in_shardings=(p_shard, o_shard, None, None),
+        out_shardings=(p_shard, o_shard, None),
+        donate_argnums=(0, 1) if donate else (),
+    )
+    return jit_init, jit_step
+
+
+def shard_params(params, mesh: Mesh, tp_axis: str = "tensor"):
+    """Place a (host) param tree onto the mesh with TP/replicated layout."""
+    shardings = param_sharding(params, mesh, tp_axis)
+    return jax.tree_util.tree_map(jax.device_put, params, shardings)

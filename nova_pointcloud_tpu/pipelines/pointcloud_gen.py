@@ -1,0 +1,190 @@
+"""Text-to-point-cloud generation pipeline.
+
+Behavioral parity with
+`diffnext/pipelines/nova/pipeline_nova_pointcloud_gen.py:32-393`:
+- prompt encoding with CFG negatives ([uncond, cond] batch order, `:170-172`)
+- randn (B, N, 3) latents scaled by init_noise_sigma (`:297-319`)
+- DDPM reverse loop with 2-pass CFG (`:156-175`)
+- standard postprocess: tanh -> +0.1 structured noise -> clamp[-1,1]
+  (`:272-295`) and position-based colors (`:321-331`)
+- dynamic-partition autoregressive refinement mode (`:212-263`)
+
+TPU-first: the whole sample (noise -> DDPM scan -> postprocess -> colors) is
+ONE jitted program; CFG rides the batch dim; the AR mode is a lax.scan over a
+static equal-size partition with validity masks instead of Python dict state.
+The reference AR path also carries shape bugs (3-dim points fed to 768-dim
+attention, `transformer_pointcloud_nova.py:284-300`); we implement the intent
+via an explicit lift -> condition -> refine head (models/pointcloud.ARRefiner).
+"""
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nova_pointcloud_tpu.models.pointcloud import NOVAPointCloudTransformer
+from nova_pointcloud_tpu.ops import pointops
+from nova_pointcloud_tpu.schedulers.ddpm import DDPMScheduler
+
+
+@dataclasses.dataclass
+class NOVAPointCloudPipelineOutput:
+    """Parity with `pipeline_nova_pointcloud_gen.py:24-29`."""
+
+    point_clouds: Any
+    colors: Any
+
+
+class NOVAPointCloudGenerationPipeline:
+    """Orchestrates a NOVAPointCloudTransformer + DDPM scheduler + text encoder."""
+
+    def __init__(self, model: NOVAPointCloudTransformer, params,
+                 scheduler: Optional[DDPMScheduler] = None, text_encoder=None,
+                 ar_refiner=None, ar_params=None, normalizer=None):
+        self.model = model
+        self.params = params
+        self.scheduler = scheduler or DDPMScheduler(beta_schedule="squaredcos_cap_v2")
+        self.text_encoder = text_encoder
+        self.ar_refiner = ar_refiner
+        self.ar_params = ar_params
+        self.normalizer = normalizer  # data.shapenet.GlobalNormalizer or None
+        self._samplers: Dict[Tuple, Any] = {}
+
+    # -- samplers ---------------------------------------------------------------
+    def _make_sampler(self, batch: int, num_points: int, steps: int,
+                      use_cfg: bool, use_ar: bool, num_subsets: int):
+        model, scheduler = self.model, self.scheduler
+        sched = scheduler.set_timesteps(steps)
+        ts = jnp.asarray(sched.timesteps, jnp.int32)
+        nb = batch * (2 if use_cfg else 1)
+
+        def sample(params, ar_params, text_raw, guidance_scale, key):
+            k_init, k_loop, k_post, k_col, k_ar = jax.random.split(key, 5)
+            x = jax.random.normal(k_init, (batch, num_points, 3), jnp.float32)
+            x = x * scheduler.init_noise_sigma
+
+            def body(carry, j):
+                x, key = carry
+                key, kd = jax.random.split(key)
+                t = ts[j]
+                x_in = jnp.concatenate([x, x], axis=0) if use_cfg else x
+                pred = model.apply({"params": params}, x_in,
+                                   jnp.full((nb,), t), text_raw)
+                if use_cfg:
+                    uncond, cond = jnp.split(pred, 2, axis=0)
+                    pred = uncond + guidance_scale * (cond - uncond)
+                x = scheduler.step(pred, t, x, key=kd, schedule=sched)
+                return (x, key), None
+
+            (x, _), _ = jax.lax.scan(body, (x, k_loop), jnp.arange(steps))
+            x = x / scheduler.init_noise_sigma
+
+            if use_ar:
+                x = self._ar_refine(ar_params, x, num_subsets, k_ar)
+            else:
+                # standard: tanh + structured noise + clamp (`:284-293`)
+                x = jnp.tanh(x)
+                x = x + 0.1 * jax.random.normal(k_post, x.shape)
+                x = jnp.clip(x, -1.0, 1.0)
+            colors = jnp.clip(jnp.abs(x), 0, 1)
+            colors = jnp.clip(colors + 0.1 * jax.random.normal(k_col, x.shape), 0, 1)
+            return x, colors
+
+        return jax.jit(sample)
+
+    def _ar_refine(self, ar_params, x: jax.Array, num_subsets: int,
+                   key: jax.Array) -> jax.Array:
+        """Static-shape dynamic-partition AR refinement (`:212-263`)."""
+        batch, n, _ = x.shape
+        k_part, k_scan = jax.random.split(key)
+        order, subset_ids = pointops.dynamic_partition(k_part, n, num_subsets)
+        s0 = n // num_subsets
+        refiner, model = self.ar_refiner, self.model
+
+        gen_points0 = jnp.zeros((batch, n, 3))
+        gen_valid0 = jnp.zeros((batch, n))
+
+        def body(carry, i):
+            gen_points, gen_valid, out = carry
+            sid = order[i]
+            ids = subset_ids[sid]  # (s0,)
+            cur = jnp.take(x, ids, axis=1)  # (B, s0, 3)
+            progress = i.astype(jnp.float32) / num_subsets
+            refined = refiner.apply(
+                {"params": ar_params}, cur, gen_points, gen_valid,
+                jnp.full((batch,), progress))
+            onehot = jax.nn.one_hot(ids, n)  # (s0, n)
+            write = jnp.einsum("sn,bsd->bnd", onehot, refined)
+            keep = 1.0 - jnp.max(onehot, axis=0)  # (n,)
+            gen_points = gen_points * keep[None, :, None] + write
+            gen_valid = jnp.maximum(gen_valid, jnp.max(onehot, axis=0)[None])
+            out = out * keep[None, :, None] + write
+            return (gen_points, gen_valid, out), None
+
+        (_, _, out), _ = jax.lax.scan(
+            body, (gen_points0, gen_valid0, jnp.zeros_like(x)),
+            jnp.arange(num_subsets))
+        return out
+
+    def _get_sampler(self, **kw):
+        k = tuple(sorted(kw.items()))
+        if k not in self._samplers:
+            self._samplers[k] = self._make_sampler(**kw)
+        return self._samplers[k]
+
+    # -- prompt encoding ---------------------------------------------------------
+    def encode_prompt(self, prompt: Sequence[str],
+                      negative_prompt: Optional[Sequence[str]] = None,
+                      use_cfg: bool = True,
+                      num_per_prompt: int = 1) -> np.ndarray:
+        """[uncond, cond] raw hidden states (`:333-393` semantics)."""
+        cond, _ = self.text_encoder.encode(list(prompt))
+        if num_per_prompt > 1:
+            cond = np.repeat(cond, num_per_prompt, axis=0)
+        if not use_cfg:
+            return cond
+        neg = list(negative_prompt) if negative_prompt else [""] * len(prompt)
+        uncond, _ = self.text_encoder.encode(neg)
+        if num_per_prompt > 1:
+            uncond = np.repeat(uncond, num_per_prompt, axis=0)
+        return np.concatenate([uncond, cond], axis=0)
+
+    # -- main entry ----------------------------------------------------------------
+    def __call__(
+        self,
+        prompt: Optional[Sequence[str]] = None,
+        negative_prompt: Optional[Sequence[str]] = None,
+        num_points: int = 2048,
+        num_diffusion_steps: int = 25,
+        guidance_scale: float = 7.5,
+        num_point_clouds_per_prompt: int = 1,
+        use_autoregressive: bool = False,
+        num_subsets: int = 16,
+        key: Optional[jax.Array] = None,
+        prompt_embeds: Optional[np.ndarray] = None,
+        output_type: str = "numpy",
+        denormalize: bool = False,
+    ) -> NOVAPointCloudPipelineOutput:
+        if isinstance(prompt, str):
+            prompt = [prompt]
+        key = key if key is not None else jax.random.PRNGKey(0)
+        use_cfg = guidance_scale > 1.0
+        if prompt_embeds is None:
+            prompt_embeds = self.encode_prompt(prompt, negative_prompt, use_cfg,
+                                               num_point_clouds_per_prompt)
+        batch = prompt_embeds.shape[0] // (2 if use_cfg else 1)
+        if use_autoregressive and self.ar_refiner is None:
+            raise ValueError("AR mode requires an ar_refiner (+params)")
+        sampler = self._get_sampler(
+            batch=batch, num_points=num_points, steps=num_diffusion_steps,
+            use_cfg=use_cfg, use_ar=use_autoregressive, num_subsets=num_subsets)
+        points, colors = sampler(self.params, self.ar_params,
+                                 jnp.asarray(prompt_embeds),
+                                 jnp.float32(guidance_scale), key)
+        if denormalize and self.normalizer is not None:
+            points = self.normalizer.denormalize(points)
+        if output_type == "numpy":
+            return NOVAPointCloudPipelineOutput(np.asarray(points), np.asarray(colors))
+        return NOVAPointCloudPipelineOutput(points, colors)

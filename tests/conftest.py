@@ -1,17 +1,21 @@
-"""Test env: force an 8-virtual-device CPU platform before jax initializes.
+"""Test env: force an 8-virtual-device CPU platform.
 
 This is the JAX equivalent of a fake distributed backend — multi-chip sharding
 tests run on one host (SURVEY.md §4 test-strategy obligations).
+
+The TPU host's sitecustomize imports jax at interpreter start with
+JAX_PLATFORMS=axon pinned, so env edits here are too late; we must go through
+jax.config (which works any time before first backend resolution).
 """
 
 import os
 
-# force, not setdefault: the TPU host env pins JAX_PLATFORMS=axon globally
-os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORMS"] = "cpu"  # for any subprocesses
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)

@@ -1,0 +1,157 @@
+"""End-to-end tests for the NOVA core: train loss + t2i/t2v generation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from nova_pointcloud_tpu.models.nova import NOVATransformer
+from nova_pointcloud_tpu.models.text_encoders.dummy import DummyTextEncoder
+from nova_pointcloud_tpu.pipelines.nova import NOVAPipeline
+from nova_pointcloud_tpu.schedulers import DDPMScheduler, FlowMatchEulerScheduler
+
+TINY = dict(
+    arch=("vit_d2w64", "vit_d2w64", "mlp_d2w64"),
+    image_dim=4,
+    image_base_size=(4, 4),
+    video_base_size=(2, 2, 2),
+    patch_size=2,
+    text_token_dim=32,
+    text_token_len=8,
+)
+
+
+def make_model(rotary=False, frames=1, scheduler=None):
+    cfg = dict(TINY)
+    cfg["rotary_pos_embed"] = rotary
+    if frames > 1:
+        cfg["video_base_size"] = (frames, 2, 2)
+        cfg["video_mixer_rank"] = 8
+    model = NOVATransformer(
+        noise_scheduler=scheduler or FlowMatchEulerScheduler(), **cfg)
+    h, w = model.latent_hw
+    x = jnp.zeros((2, frames, h, w, 4))
+    text = jnp.zeros((2, 8, 32))
+    rngs = {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1),
+            "time": jax.random.PRNGKey(2), "noise": jax.random.PRNGKey(3),
+            "dropout": jax.random.PRNGKey(4)}
+    # always jit init: eager per-op dispatch is pathologically slow here
+    params = jax.jit(model.init)(rngs, x, text)["params"]
+    return model, params
+
+
+class TestTraining:
+    def test_image_loss_finite(self):
+        model, params = make_model()
+        h, w = model.latent_hw
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 1, h, w, 4))
+        text = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 32))
+        rngs = {"mask": jax.random.PRNGKey(1), "time": jax.random.PRNGKey(2),
+                "noise": jax.random.PRNGKey(3), "dropout": jax.random.PRNGKey(4)}
+        losses = model.apply({"params": params}, x, text, rngs=rngs)
+        assert set(losses) == {"loss"} and np.isfinite(float(losses["loss"]))
+
+    def test_video_loss_split(self):
+        model, params = make_model(frames=3)
+        h, w = model.latent_hw
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, h, w, 4))
+        text = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 32))
+        rngs = {"mask": jax.random.PRNGKey(1), "time": jax.random.PRNGKey(2),
+                "noise": jax.random.PRNGKey(3)}
+        losses = model.apply({"params": params}, x, text, rngs=rngs)
+        assert set(losses) == {"loss_t2i", "loss_i2i"}
+        assert all(np.isfinite(float(v)) for v in losses.values())
+
+    def test_loss_decreases(self):
+        """30 steps of adam on a fixed batch must reduce the diffusion loss."""
+        model, params = make_model()
+        h, w = model.latent_hw
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 1, h, w, 4)) * 0.5
+        text = jax.random.normal(jax.random.PRNGKey(1), (4, 8, 32))
+        opt = optax.adam(1e-3)
+        opt_state = opt.init(params)
+
+        @jax.jit
+        def step(params, opt_state, key):
+            ks = jax.random.split(key, 4)
+            rngs = {"mask": ks[0], "time": ks[1], "noise": ks[2], "dropout": ks[3]}
+
+            def loss_fn(p):
+                return model.apply({"params": p}, x, text, rngs=rngs)["loss"]
+
+            loss, g = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = opt.update(g, opt_state)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        losses = []
+        for i in range(30):
+            params, opt_state, loss = step(params, opt_state, jax.random.PRNGKey(i))
+            losses.append(float(loss))
+        assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.9
+
+    def test_rotary_path(self):
+        model, params = make_model(rotary=True)
+        h, w = model.latent_hw
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 1, h, w, 4))
+        text = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 32))
+        rngs = {"mask": jax.random.PRNGKey(1), "time": jax.random.PRNGKey(2),
+                "noise": jax.random.PRNGKey(3)}
+        losses = model.apply({"params": params}, x, text, rngs=rngs)
+        assert np.isfinite(float(losses["loss"]))
+
+
+class TestGeneration:
+    @pytest.mark.parametrize("rotary", [False, True])
+    def test_t2i(self, rotary):
+        scheduler = FlowMatchEulerScheduler()
+        model, params = make_model(rotary=rotary, scheduler=scheduler)
+        pipe = NOVAPipeline(model, params, scheduler,
+                            text_encoder=DummyTextEncoder(32, 8))
+        out = pipe(["a chair", "a table"], num_inference_steps=8,
+                   num_diffusion_steps=4, guidance_scale=2.0,
+                   key=jax.random.PRNGKey(0))
+        h, w = model.latent_hw
+        assert out.latents.shape == (2, h, w, 4)
+        assert bool(jnp.all(jnp.isfinite(out.latents)))
+
+    def test_t2i_no_guidance(self):
+        scheduler = FlowMatchEulerScheduler()
+        model, params = make_model(scheduler=scheduler)
+        pipe = NOVAPipeline(model, params, scheduler,
+                            text_encoder=DummyTextEncoder(32, 8))
+        out = pipe(["a chair"], num_inference_steps=4, num_diffusion_steps=2,
+                   guidance_scale=1.0, key=jax.random.PRNGKey(0))
+        assert out.latents.shape[0] == 1
+
+    def test_t2i_ddpm_sampler(self):
+        scheduler = DDPMScheduler(num_train_timesteps=100)
+        model, params = make_model(scheduler=scheduler)
+        pipe = NOVAPipeline(model, params, scheduler,
+                            text_encoder=DummyTextEncoder(32, 8))
+        out = pipe(["a chair"], num_inference_steps=4, num_diffusion_steps=4,
+                   guidance_scale=2.0, key=jax.random.PRNGKey(0))
+        assert bool(jnp.all(jnp.isfinite(out.latents)))
+
+    def test_t2v(self):
+        scheduler = FlowMatchEulerScheduler()
+        model, params = make_model(frames=3, scheduler=scheduler)
+        pipe = NOVAPipeline(model, params, scheduler,
+                            text_encoder=DummyTextEncoder(32, 8))
+        out = pipe(["a moving chair"], num_inference_steps=4,
+                   num_diffusion_steps=2, max_latent_length=3,
+                   guidance_scale=2.0, key=jax.random.PRNGKey(0))
+        h, w = model.latent_hw
+        assert out.latents.shape == (1, 3, h, w, 4)
+        assert bool(jnp.all(jnp.isfinite(out.latents)))
+
+    def test_deterministic_given_key(self):
+        scheduler = FlowMatchEulerScheduler()
+        model, params = make_model(scheduler=scheduler)
+        pipe = NOVAPipeline(model, params, scheduler,
+                            text_encoder=DummyTextEncoder(32, 8))
+        a = pipe(["x"], num_inference_steps=4, num_diffusion_steps=2,
+                 key=jax.random.PRNGKey(5)).latents
+        b = pipe(["x"], num_inference_steps=4, num_diffusion_steps=2,
+                 key=jax.random.PRNGKey(5)).latents
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -1,0 +1,113 @@
+"""End-to-end tests for the point-cloud model + generation pipeline."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from nova_pointcloud_tpu.models.pointcloud import ARRefiner, NOVAPointCloudTransformer
+from nova_pointcloud_tpu.models.text_encoders.dummy import DummyTextEncoder
+from nova_pointcloud_tpu.pipelines.pointcloud_gen import NOVAPointCloudGenerationPipeline
+from nova_pointcloud_tpu.schedulers import DDPMScheduler
+
+N_POINTS = 128
+
+
+def make_pc_model(patch_size=1, text_dim=32):
+    model = NOVAPointCloudTransformer(
+        arch="pc_d2w64", point_cloud_size=N_POINTS, patch_size=patch_size,
+        text_token_dim=text_dim, dropout=0.0)
+    x = jnp.zeros((2, N_POINTS, 3))
+    t = jnp.zeros((2,), jnp.int32)
+    text = jnp.zeros((2, 8, text_dim)) if text_dim else None
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x, t, text)["params"]
+    return model, params
+
+
+def test_forward_shapes():
+    for patch in (1, 4):
+        model, params = make_pc_model(patch_size=patch)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, N_POINTS, 3))
+        out = jax.jit(model.apply)({"params": params}, x,
+                                   jnp.array([10, 500]),
+                                   jnp.zeros((2, 8, 32)))
+        assert out.shape == (2, N_POINTS, 3)
+        assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_training_loss_decreases():
+    """DDPM eps-prediction on a fixed sphere batch must learn."""
+    model, params = make_pc_model()
+    sched = DDPMScheduler(beta_schedule="squaredcos_cap_v2")
+    key = jax.random.PRNGKey(0)
+    pts = jax.random.normal(key, (4, N_POINTS, 3))
+    pts = pts / jnp.linalg.norm(pts, axis=-1, keepdims=True)  # unit sphere
+    text = jax.random.normal(jax.random.PRNGKey(1), (4, 8, 32))
+    opt = optax.adam(2e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, key):
+        k1, k2 = jax.random.split(key)
+        t = sched.sample_timesteps(k1, (4,))
+        noise = jax.random.normal(k2, pts.shape)
+        x_t = sched.add_noise(pts, noise, t)
+
+        def loss_fn(p):
+            pred = model.apply({"params": p}, x_t, t, text)
+            return jnp.mean((pred - noise) ** 2)
+
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(g, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for i in range(40):
+        params, opt_state, loss = step(params, opt_state, jax.random.PRNGKey(i))
+        losses.append(float(loss))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.8
+
+
+class TestPipeline:
+    def _pipe(self, **kw):
+        model, params = make_pc_model()
+        return NOVAPointCloudGenerationPipeline(
+            model, params, DDPMScheduler(beta_schedule="squaredcos_cap_v2"),
+            text_encoder=DummyTextEncoder(32, 8), **kw)
+
+    def test_generate_standard(self):
+        pipe = self._pipe()
+        out = pipe(["a chair", "a car"], num_points=N_POINTS,
+                   num_diffusion_steps=5, guidance_scale=3.0,
+                   key=jax.random.PRNGKey(0))
+        assert out.point_clouds.shape == (2, N_POINTS, 3)
+        assert out.colors.shape == (2, N_POINTS, 3)
+        assert np.all(np.abs(out.point_clouds) <= 1.0)
+        assert np.all((out.colors >= 0) & (out.colors <= 1))
+
+    def test_generate_no_cfg(self):
+        pipe = self._pipe()
+        out = pipe(["a chair"], num_points=N_POINTS, num_diffusion_steps=3,
+                   guidance_scale=1.0, key=jax.random.PRNGKey(0))
+        assert out.point_clouds.shape == (1, N_POINTS, 3)
+
+    def test_prompts_differ(self):
+        pipe = self._pipe()
+        a = pipe(["a chair"], num_points=N_POINTS, num_diffusion_steps=5,
+                 guidance_scale=3.0, key=jax.random.PRNGKey(0)).point_clouds
+        b = pipe(["an airplane"], num_points=N_POINTS, num_diffusion_steps=5,
+                 guidance_scale=3.0, key=jax.random.PRNGKey(0)).point_clouds
+        assert np.abs(a - b).max() > 1e-4
+
+    def test_autoregressive_mode(self):
+        refiner = ARRefiner(embed_dim=64, num_heads=4, depth=1)
+        ar_params = jax.jit(refiner.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, N_POINTS // 8, 3)),
+            jnp.zeros((1, N_POINTS, 3)), jnp.zeros((1, N_POINTS)),
+            jnp.zeros((1,)))["params"]
+        pipe = self._pipe(ar_refiner=refiner, ar_params=ar_params)
+        out = pipe(["a chair"], num_points=N_POINTS, num_diffusion_steps=3,
+                   guidance_scale=2.0, use_autoregressive=True, num_subsets=8,
+                   key=jax.random.PRNGKey(0))
+        assert out.point_clouds.shape == (1, N_POINTS, 3)
+        assert np.all(np.isfinite(out.point_clouds))
