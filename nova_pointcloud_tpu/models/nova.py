@@ -369,9 +369,15 @@ class NOVATransformer(nn.Module):
         return self.train_losses(x, text_embeds, labels, **kwargs)
 
     def init_video_caches(self, batch: int, text_len: int,
-                          num_frames: int, dtype=jnp.float32) -> List[KVCache]:
+                          num_frames: int, dtype=jnp.float32):
+        """Stacked (enc, dec) KV caches for the video encoder."""
+        depth, width, num_heads = VIT_ARCHES[self.arch[0]]
         max_len = text_len + num_frames * self.num_video_tokens
         head_dim = self.head_dim_v
-        num_heads = VIT_ARCHES[self.arch[0]][2]
-        return [KVCache.create(batch, num_heads, max_len, head_dim, dtype)
-                for _ in range(VIT_ARCHES[self.arch[0]][0])]
+        enc_depth = depth // 2
+
+        def make(n_layers):
+            shape = (n_layers, batch, num_heads, max_len, head_dim)
+            return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+        return make(enc_depth), make(depth - enc_depth)

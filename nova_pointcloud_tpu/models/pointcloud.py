@@ -126,6 +126,55 @@ class PreLNBlock(nn.Module):
         return x + nn.Dropout(self.dropout, deterministic=deterministic)(h)
 
 
+class _ScanBlockBody(nn.Module):
+    """nn.scan adapter: (carry, _) -> (carry, None) over one PreLNBlock."""
+
+    dim: int
+    num_heads: int
+    dropout: float
+    deterministic: bool
+    remat: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, carry, _):
+        cls = nn.remat(PreLNBlock, static_argnums=(2,)) if self.remat \
+            else PreLNBlock
+        out = cls(self.dim, self.num_heads, dropout=self.dropout,
+                  dtype=self.dtype, name="block")(carry, self.deterministic)
+        return out, None
+
+
+class BlockStack(nn.Module):
+    """Depth-stacked PreLN blocks via nn.scan.
+
+    Compiling ONE block and scanning beats unrolling 32-48 layers into the
+    HLO: compile time drops ~depth-fold (a 48-layer unroll took >30min through
+    the remote TPU compiler; the scanned form compiles in seconds) with
+    identical math. Params carry a leading (depth,) axis.
+    """
+
+    depth: int
+    dim: int
+    num_heads: int
+    dropout: float = 0.1
+    remat: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, h: jax.Array, deterministic: bool = True) -> jax.Array:
+        body = nn.scan(
+            _ScanBlockBody,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            length=self.depth,
+            metadata_params={nn.meta.PARTITION_NAME: None},
+        )(self.dim, self.num_heads, self.dropout, deterministic, self.remat,
+          self.dtype, name="layers")
+        h, _ = body(h, None)
+        return h
+
+
 class NOVAPointCloudTransformer(nn.Module):
     """Unified pc diffusion backbone; (B, N, 3) noisy points -> (B, N, 3) pred."""
 
@@ -176,11 +225,9 @@ class NOVAPointCloudTransformer(nn.Module):
             t = nn.Dense(dim, dtype=self.dtype, name="text_embed")(text_embeds)
             h = h + jnp.mean(t, axis=1, keepdims=True)
 
-        block_cls = nn.remat(PreLNBlock, static_argnums=(2,)) if self.remat \
-            else PreLNBlock
-        for i in range(depth):
-            h = block_cls(dim, heads, dropout=self.dropout, dtype=self.dtype,
-                          name=f"blocks_{i}")(h, deterministic)
+        h = BlockStack(depth, dim, heads, dropout=self.dropout,
+                       remat=self.remat, dtype=self.dtype,
+                       name="blocks")(h, deterministic)
 
         out = nn.Dense(p * 3, dtype=self.dtype, name="output_proj",
                        kernel_init=nn.initializers.xavier_uniform())(h)

@@ -88,12 +88,37 @@ class Block(nn.Module):
         return x, cache
 
 
+class _ViTScanBody(nn.Module):
+    """nn.scan adapter over one Block: carry=(h, bias, rope, index), xs=cache."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float
+    attn_impl: str
+    remat: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, carry, cache):
+        h, bias, rope, cache_index = carry
+        cls = nn.remat(Block, static_argnums=()) if (self.remat and
+                                                     cache is None) else Block
+        blk = cls(self.dim, self.num_heads, self.mlp_ratio,
+                  attn_impl=self.attn_impl, dtype=self.dtype, name="block")
+        h, new_cache = blk(h, bias, rope, cache, cache_index)
+        return (h, bias, rope, cache_index), new_cache
+
+
 class VisionTransformer(nn.Module):
     """Encoder-decoder ViT over pre-embedded tokens.
 
     The caller owns patch/pos embedding (like `transformer_3d.py` which calls
     ``video_encoder.patch_embed`` explicitly); this module is pure sequence
     modeling so image/video/point-cloud frontends all share it.
+
+    Layers are nn.scan block stacks (one compiled block per half), so a d32
+    model compiles like a d1 model. KV caches carry a leading (layers,) axis
+    and ride the scan as xs/ys.
     """
 
     depth: int
@@ -109,6 +134,18 @@ class VisionTransformer(nn.Module):
     def enc_depth(self) -> int:
         return self.depth // 2 if self.encoder_depth is None else self.encoder_depth
 
+    def _stack(self, name: str, length: int, h, bias, rope, cache, cache_index):
+        body = nn.scan(
+            _ViTScanBody,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=length,
+            metadata_params={nn.meta.PARTITION_NAME: None},
+        )(self.embed_dim, self.num_heads, self.mlp_ratio, self.attn_impl,
+          self.remat, self.dtype, name=name)
+        (h, *_), new_cache = body((h, bias, rope, cache_index), cache)
+        return h, new_cache
+
     @nn.compact
     def __call__(
         self,
@@ -117,9 +154,9 @@ class VisionTransformer(nn.Module):
         visible: Optional[jax.Array] = None,  # (B, N) 1=visible, None=all
         rope: Optional[Tuple[jax.Array, jax.Array]] = None,  # prefix-padded
         bias: Optional[jax.Array] = None,  # additive attn bias (block-causal)
-        caches: Optional[List[KVCache]] = None,
+        caches: Optional[Tuple[KVCache, KVCache]] = None,  # (enc, dec) stacked
         cache_index: Optional[jax.Array] = None,
-    ) -> Tuple[jax.Array, Optional[List[KVCache]]]:
+    ) -> Tuple[jax.Array, Optional[Tuple[KVCache, KVCache]]]:
         c_len = 0 if c is None else c.shape[1]
         x_tokens = x
         h = x if c is None else jnp.concatenate([c, x], axis=1)
@@ -131,21 +168,10 @@ class VisionTransformer(nn.Module):
                                                dtype=jnp.float32)
             enc_bias = vis_bias if bias is None else bias + vis_bias
 
-        block = lambda i: Block(self.embed_dim, self.num_heads, self.mlp_ratio,  # noqa: E731
-                                attn_impl=self.attn_impl, dtype=self.dtype,
-                                name=f"blocks_{i}")
-        if self.remat and caches is None:
-            block_cls = nn.remat(Block, static_argnums=())
-            block = lambda i: block_cls(self.embed_dim, self.num_heads,  # noqa: E731
-                                        self.mlp_ratio, attn_impl=self.attn_impl,
-                                        dtype=self.dtype, name=f"blocks_{i}")
-
-        new_caches = [] if caches is not None else None
-        for i in range(self.enc_depth):
-            cache_i = caches[i] if caches is not None else None
-            h, cache_i = block(i)(h, enc_bias, rope, cache_i, cache_index)
-            if new_caches is not None:
-                new_caches.append(cache_i)
+        enc_cache = caches[0] if caches is not None else None
+        dec_cache = caches[1] if caches is not None else None
+        h, enc_cache = self._stack("enc_layers", self.enc_depth, h, enc_bias,
+                                   rope, enc_cache, cache_index)
 
         if use_split:
             # restore mask-token rows exactly as the scatter at
@@ -155,17 +181,20 @@ class VisionTransformer(nn.Module):
             tail = h[:, c_len:] * vis + x_tokens.astype(h.dtype) * (1.0 - vis)
             h = tail if c is None else jnp.concatenate([h[:, :c_len], tail], axis=1)
 
-        for i in range(self.enc_depth, self.depth):
-            cache_i = caches[i] if caches is not None else None
-            h, cache_i = block(i)(h, bias, rope, cache_i, cache_index)
-            if new_caches is not None:
-                new_caches.append(cache_i)
+        h, dec_cache = self._stack("dec_layers", self.depth - self.enc_depth,
+                                   h, bias, rope, dec_cache, cache_index)
 
         out = h if c is None else h[:, c_len:]
+        new_caches = (enc_cache, dec_cache) if caches is not None else None
         return nn.LayerNorm(name="norm")(out), new_caches
 
     def init_caches(self, batch: int, max_len: int,
-                    dtype=jnp.bfloat16) -> List[KVCache]:
+                    dtype=jnp.float32) -> Tuple[KVCache, KVCache]:
+        """Stacked (layers, B, H, S, D) caches for (encoder, decoder) halves."""
         head_dim = self.embed_dim // self.num_heads
-        return [KVCache.create(batch, self.num_heads, max_len, head_dim, dtype)
-                for _ in range(self.depth)]
+
+        def make(n_layers):
+            shape = (n_layers, batch, self.num_heads, max_len, head_dim)
+            return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+        return make(self.enc_depth), make(self.depth - self.enc_depth)

@@ -40,10 +40,13 @@ def tp_spec_for_param(path_str: str, value: jax.Array, mesh: Mesh,
               ("qkv", "fc1", "query", "key", "value"))
     row = ("proj/kernel" in path_str and "attn" in path_str) or \
         ("fc2/kernel" in path_str) or ("out/kernel" in path_str)
+    # kernels may carry a leading (depth,) axis from nn.scan block stacks:
+    # column-parallel = last dim (output features), row-parallel = second-to-
+    # last dim (input features) either way.
     if col and value.shape[-1] % size == 0:
         return P(*([None] * (value.ndim - 1) + [axis]))
-    if row and value.shape[0] % size == 0:
-        return P(*([axis] + [None] * (value.ndim - 1)))
+    if row and value.shape[-2] % size == 0:
+        return P(*([None] * (value.ndim - 2) + [axis, None]))
     return P()
 
 

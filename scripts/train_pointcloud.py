@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Standalone text-to-point-cloud trainer (the `train_newloss.py` CLI).
+
+CLI parity with `/root/reference/train_newloss.py:1552-1645`: max_points,
+num_subsets, lr, batch size, epochs, early stopping patience, output dir;
+swaps the torch DataLoader + host Hungarian for device-side batching and
+Sinkhorn EMD. Falls back to procedural synthetic clouds when no ShapeNet
+tree is given (bootstrap like the reference's Dummy* encoders).
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data-root", default=None, help="ShapeNet 15k npy root")
+    ap.add_argument("--categories", nargs="+", default=["all"])
+    ap.add_argument("--output-dir", default="output/pc")
+    ap.add_argument("--arch", default="pc_d8w768")
+    ap.add_argument("--max-points", type=int, default=1024)
+    ap.add_argument("--patch-size", type=int, default=1)
+    ap.add_argument("--num-subsets", type=int, default=16)
+    ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--max-steps", type=int, default=10000)
+    ap.add_argument("--val-every", type=int, default=500)
+    ap.add_argument("--patience", type=int, default=8)
+    ap.add_argument("--grad-clip", type=float, default=50.0)
+    ap.add_argument("--ema-decay", type=float, default=0.99)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from nova_pointcloud_tpu.data.shapenet import (
+        GlobalNormalizer, ShapeNet15kPointClouds, make_batches,
+        make_synthetic_clouds)
+    from nova_pointcloud_tpu.engine.grad_tools import (
+        adaptive_lr_on_spike, per_layer_clip)
+    from nova_pointcloud_tpu.engine.lr_schedules import cosine_lr
+    from nova_pointcloud_tpu.models.pointcloud import NOVAPointCloudTransformer
+    from nova_pointcloud_tpu.models.text_encoders.dummy import DummyTextEncoder
+    from nova_pointcloud_tpu.pipelines.pointcloud_train import (
+        NOVATrainPointCloudPipeline, PointCloudLossConfig)
+
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    if args.data_root:
+        train_ds = ShapeNet15kPointClouds(args.data_root, args.categories,
+                                          split="train")
+        val_ds = ShapeNet15kPointClouds(args.data_root, args.categories,
+                                        split="val")
+        sample_clouds = [train_ds[i]["points"] for i in
+                         range(min(64, len(train_ds)))]
+    else:
+        print("no --data-root: training on synthetic bootstrap clouds")
+        shapes = make_synthetic_clouds(64, args.max_points, args.seed)
+        sample_clouds = [s["points"] for s in shapes]
+
+        class _ListDS(list):
+            def __getitem__(self, i):
+                return list.__getitem__(self, i)
+
+        train_ds = _ListDS(shapes)
+        val_ds = _ListDS(make_synthetic_clouds(16, args.max_points,
+                                               args.seed + 1))
+
+    normalizer = GlobalNormalizer().fit(sample_clouds)
+    normalizer.save(os.path.join(args.output_dir, "stats.json"))
+
+    text_encoder = DummyTextEncoder(256, 16)
+    model = NOVAPointCloudTransformer(
+        arch=args.arch, point_cloud_size=args.max_points,
+        patch_size=args.patch_size, text_token_dim=256)
+    x0 = jnp.zeros((2, args.max_points, 3))
+    params = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(args.seed),
+         "dropout": jax.random.PRNGKey(1)},
+        x0, jnp.zeros((2,), jnp.int32), jnp.zeros((2, 16, 256)))["params"]
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    print(f"model {args.arch}: {n_params/1e6:.1f}M params")
+
+    schedule = cosine_lr(args.lr, args.max_steps, warmup_steps=200)
+    optimizer = optax.chain(
+        per_layer_clip(args.grad_clip,
+                       {"output_proj": 0.5, "time_": 0.3, "text_embed": 0.3}),
+        adaptive_lr_on_spike(explode_norm=args.grad_clip),
+        optax.adamw(schedule, weight_decay=0.01),
+    )
+    pipe = NOVATrainPointCloudPipeline(
+        model, params, text_encoder=text_encoder, normalizer=normalizer,
+        output_dir=args.output_dir, optimizer=optimizer,
+        loss_config=PointCloudLossConfig(num_subsets=args.num_subsets),
+        max_steps=args.max_steps, log_every=20, save_every=args.val_every,
+        ema_decay=args.ema_decay, lr_schedule=schedule, seed=args.seed)
+
+    def norm_batches(ds, seed):
+        for batch in make_batches(ds, args.batch_size, args.max_points, seed):
+            batch["points"] = normalizer.normalize(batch["points"])
+            yield batch
+
+    # early stopping on validation loss (`train_newloss.py:1407-1434`)
+    best_val, bad_rounds, step = float("inf"), 0, 0
+    while step < args.max_steps and bad_rounds < args.patience:
+        target = min(step + args.val_every, args.max_steps)
+        pipe.train(norm_batches(train_ds, args.seed), max_steps=target)
+        step = pipe.trainer.step
+        val_batches = []
+        vb = norm_batches(val_ds, args.seed + 99)
+        for _ in range(4):
+            val_batches.append(next(vb))
+        val = pipe.validate(val_batches)
+        print(f"[val @ {step}] " + ", ".join(f"{k}={v:.4f}"
+                                             for k, v in val.items()))
+        if val["loss"] < best_val - 1e-5:
+            best_val, bad_rounds = val["loss"], 0
+            pipe.trainer.save()
+        else:
+            bad_rounds += 1
+    print(f"done at step {step}; best val loss {best_val:.4f}")
+
+
+if __name__ == "__main__":
+    main()

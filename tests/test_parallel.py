@@ -53,7 +53,7 @@ def test_tp_param_specs():
     col = [s for p, s in specs.items() if "fc1/kernel" in p]
     assert col and all(s[-1] == "tensor" for s in col)
     row = [s for p, s in specs.items() if "fc2/kernel" in p]
-    assert row and all(s[0] == "tensor" for s in row)
+    assert row and all(s[-2] == "tensor" for s in row)  # row = input (-2) dim
     # layernorms replicated
     ln = [s for p, s in specs.items() if "norm1/scale" in p]
     assert ln and all(s == P() for s in ln)
@@ -95,7 +95,7 @@ def test_sharded_train_step_runs_and_learns():
     assert np.all(np.isfinite(losses))
     assert np.mean(losses[-3:]) < np.mean(losses[:3])
     # verify a TP param actually ended up sharded over tensor axis
-    leaf = params["blocks_0"]["fc1"]["kernel"]
+    leaf = params["blocks"]["layers"]["block"]["fc1"]["kernel"]
     assert "tensor" in str(leaf.sharding.spec)
 
 
@@ -113,5 +113,5 @@ def test_zero_opt_state_sharded():
         init_fn, _ = make_sharded_train_step(loss_fn, optax.adam(1e-3), mesh,
                                              params)
         opt_state = init_fn(params)
-    mu_leaf = opt_state[0].mu["blocks_0"]["fc1"]["kernel"]
+    mu_leaf = opt_state[0].mu["blocks"]["layers"]["block"]["fc1"]["kernel"]
     assert "data" in str(mu_leaf.sharding.spec)
