@@ -32,7 +32,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dry-run", action="store_true",
                     help="tiny model / 2 steps, CI smoke")
-    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--steps", type=int, default=25)
     ap.add_argument("--points", type=int, default=2048)
     ap.add_argument("--repeats", type=int, default=5)

@@ -41,11 +41,14 @@ class NOVAPipeline:
     """Orchestrates a NOVATransformer + schedulers + (optional) VAE/encoder."""
 
     def __init__(self, model: NOVATransformer, params, scheduler,
-                 vae=None, text_encoder=None):
+                 vae=None, vae_params=None, text_encoder=None):
+        from nova_pointcloud_tpu.utils.image_processor import VaeImageProcessor
+
         self.model = model
         self.params = params
         self.scheduler = scheduler
         self.vae = vae
+        self.image_processor = VaeImageProcessor(vae, vae_params)
         self.text_encoder = text_encoder
         self._samplers: Dict[Tuple, Any] = {}
         # jit everything touching params: eager dispatch is slow on TPU hosts
@@ -251,12 +254,10 @@ class NOVAPipeline:
         if output_type == "latent":
             x = frames[:, 0] if max_latent_length == 1 else frames
             return NOVAPipelineOutput(latents=x)
-        if self.vae is not None:
-            decoded = self.vae.decode(frames.reshape((b * t,) + frames.shape[2:]))
-            decoded = decoded.reshape((b, t) + decoded.shape[1:])
-        else:
-            decoded = frames
-        pixels = np.asarray(((decoded + 1) * 127.5).clip(0, 255).astype(jnp.uint8))
         if max_latent_length == 1:
-            return NOVAPipelineOutput(images=pixels[:, 0])
-        return NOVAPipelineOutput(frames=pixels)
+            decoded = self.image_processor.decode_latents(frames[:, 0])
+            return NOVAPipelineOutput(
+                images=self.image_processor.postprocess(decoded, output_type))
+        decoded = self.image_processor.decode_latents(frames)
+        return NOVAPipelineOutput(
+            frames=self.image_processor.postprocess(decoded, "np"))
