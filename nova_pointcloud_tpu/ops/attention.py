@@ -37,23 +37,25 @@ def sdpa(q: jax.Array, k: jax.Array, v: jax.Array,
 def attention(q: jax.Array, k: jax.Array, v: jax.Array,
               bias: Optional[jax.Array] = None, impl: str = "auto") -> jax.Array:
     """Dispatch to the best attention implementation for the platform."""
-    if impl in ("auto", "pallas"):
-        try:
-            from nova_pointcloud_tpu.ops.pallas.flash_attention import flash_attention
+    if impl in ("auto", "pallas") and _use_pallas(q, k, bias, impl):
+        from nova_pointcloud_tpu.ops.pallas.flash_attention import flash_attention
 
-            if impl == "pallas" or _use_pallas(q):
-                return flash_attention(q, k, v, bias=bias)
-        except Exception:
-            if impl == "pallas":
-                raise
+        return flash_attention(q, k, v, bias=bias)
     return sdpa(q, k, v, bias)
 
 
-def _use_pallas(q: jax.Array) -> bool:
+def _use_pallas(q: jax.Array, k: jax.Array, bias, impl: str) -> bool:
+    if impl == "pallas":
+        return True
     if jax.default_backend() != "tpu":
         return False
-    # pallas kernel wants lane-aligned head dim and long-enough sequences
-    return q.shape[-1] % 128 == 0 and q.shape[-2] >= 256
+    if k.shape[-2] < 1024:  # short sequences: XLA's fused attention is fine
+        return False
+    if bias is None:
+        return True
+    # kernel supports key bias (.., 1, 1, Lk) and shared full bias (1,1,Lq,Lk)
+    return bias.ndim == 4 and bias.shape[1] == 1 and (
+        bias.shape[2] == 1 or bias.shape[0] == 1)
 
 
 class KVCache(NamedTuple):

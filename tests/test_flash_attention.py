@@ -1,0 +1,63 @@
+"""Pallas flash attention vs reference SDPA (interpret mode on CPU)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nova_pointcloud_tpu.ops.attention import sdpa
+
+
+def run_flash(q, k, v, bias=None, **kw):
+    from jax.experimental.pallas import tpu as pltpu
+
+    from nova_pointcloud_tpu.ops.pallas.flash_attention import flash_attention
+
+    with pltpu.force_tpu_interpret_mode():
+        return flash_attention(q, k, v, bias=bias, **kw)
+
+
+@pytest.fixture
+def qkv():
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 3)
+    shape = (2, 3, 160, 64)  # non-multiple of block sizes -> padding path
+    return [jax.random.normal(k, shape, jnp.float32) * 0.5 for k in ks]
+
+
+def test_matches_sdpa_no_bias(qkv):
+    q, k, v = qkv
+    out = run_flash(q, k, v, blk_q=64, blk_k=64)
+    ref = sdpa(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-3, rtol=2e-3)
+
+
+def test_matches_sdpa_key_bias(qkv):
+    q, k, v = qkv
+    visible = (jax.random.uniform(jax.random.PRNGKey(9), (2, 160)) > 0.4)
+    bias = jnp.where(visible, 0.0, -jnp.inf)[:, None, None, :]
+    out = run_flash(q, k, v, bias=bias, blk_q=64, blk_k=64)
+    ref = sdpa(q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-3, rtol=2e-3)
+
+
+def test_matches_sdpa_full_bias(qkv):
+    q, k, v = qkv
+    from nova_pointcloud_tpu.ops.masking import block_causal_bias
+
+    bias = block_causal_bias((40, 40, 40, 40))[None, None]
+    out = run_flash(q, k, v, bias=bias, blk_q=64, blk_k=64)
+    ref = sdpa(q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-3, rtol=2e-3)
+
+
+def test_fully_masked_rows_zero(qkv):
+    q, k, v = qkv
+    bias = jnp.full((2, 1, 1, 160), -jnp.inf)
+    out = run_flash(q, k, v, bias=bias, blk_q=64, blk_k=64)
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
