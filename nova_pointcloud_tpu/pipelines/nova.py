@@ -78,6 +78,19 @@ class NOVAPipeline:
             c = jnp.repeat(c, num_images_per_prompt, axis=0)
         return c
 
+    def encode_image(self, image: np.ndarray, key: Optional[jax.Array] = None,
+                     num_images_per_prompt: int = 1) -> jax.Array:
+        """Encode an image prompt to scaled latents (`pipeline_nova.py:222-239`).
+
+        image: (H, W, 3) uint8 -> (N, h, w, C) latents for the i2v prefill.
+        """
+        x = jnp.asarray(image, jnp.float32) / 127.5 - 1.0
+        dist = self.vae.apply({"params": self.image_processor.vae_params},
+                              x[None], method=self.vae.encode)
+        z = dist.sample(key) if key is not None else dist.mode()
+        z = self.vae.scale(z)
+        return jnp.repeat(z, num_images_per_prompt, axis=0)
+
     # -- sampler construction --------------------------------------------------
     def _make_sampler(self, batch: int, num_inference_steps: int,
                       num_diffusion_steps: int, max_latent_length: int,
