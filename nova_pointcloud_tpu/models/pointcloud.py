@@ -194,6 +194,9 @@ class NOVAPointCloudTransformer(nn.Module):
 
     @property
     def dims(self) -> Tuple[int, int, int]:
+        if self.arch not in PC_ARCHES:
+            raise KeyError(f"unknown pc arch {self.arch!r}; known: "
+                           f"{sorted(PC_ARCHES)}")
         return PC_ARCHES[self.arch]
 
     @nn.compact
