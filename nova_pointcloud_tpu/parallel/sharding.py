@@ -36,6 +36,12 @@ def tp_spec_for_param(path_str: str, value: jax.Array, mesh: Mesh,
     size = mesh.shape.get(axis, 1)
     if size <= 1 or value.ndim < 2:
         return P()
+    # only shard the transformer block stacks; tiny embed MLPs (time/pos/text
+    # projections) would just force resharding churn
+    in_blocks = ("layers/" in path_str or "blocks" in path_str
+                 or "/block/" in path_str)
+    if not in_blocks:
+        return P()
     col = any(f"{n}/kernel" in path_str for n in
               ("qkv", "fc1", "query", "key", "value"))
     row = ("proj/kernel" in path_str and "attn" in path_str) or \

@@ -50,10 +50,15 @@ def test_tp_param_specs():
     flat = jax.tree_util.tree_flatten_with_path(shardings)[0]
     specs = {"/".join(getattr(k, "key", str(k)) for k in path): s.spec
              for path, s in flat}
-    col = [s for p, s in specs.items() if "fc1/kernel" in p]
+    # TP applies inside the block stacks only (embeds/cluster stay replicated)
+    col = [s for p, s in specs.items() if "fc1/kernel" in p and "blocks" in p]
     assert col and all(s[-1] == "tensor" for s in col)
-    row = [s for p, s in specs.items() if "fc2/kernel" in p]
+    row = [s for p, s in specs.items() if "fc2/kernel" in p and "blocks" in p]
     assert row and all(s[-2] == "tensor" for s in row)  # row = input (-2) dim
+    outside = [s for p, s in specs.items()
+               if "fc1/kernel" in p and "blocks" not in p]
+    from jax.sharding import PartitionSpec as P0
+    assert all(s == P0() for s in outside)
     # layernorms replicated
     ln = [s for p, s in specs.items() if "norm1/scale" in p]
     assert ln and all(s == P() for s in ln)
