@@ -65,6 +65,8 @@ def main():
     t = jnp.zeros((batch,), jnp.int32)
     text = jnp.zeros((batch, 32, 256))
     params = jax.jit(model.init)(jax.random.PRNGKey(0), x, t, text)["params"]
+    if on_tpu:  # serving mode: bf16 weights halve param HBM traffic
+        params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     print(f"# arch={arch} params={n_params/1e6:.1f}M batch={batch} "
           f"steps={steps} points={points} backend={jax.default_backend()}",

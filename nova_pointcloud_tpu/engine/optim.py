@@ -67,3 +67,10 @@ def build_optimizer(
     if accum_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
     return tx
+
+
+def count_params(params) -> int:
+    """Total parameter count (`engine_utils.py:26-29`)."""
+    import numpy as np
+
+    return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))

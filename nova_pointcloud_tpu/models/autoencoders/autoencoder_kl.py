@@ -19,7 +19,11 @@ from nova_pointcloud_tpu.models.autoencoders.modeling_utils import (
 
 
 class VAEAttention(nn.Module):
-    """Single-head spatial self-attention with GroupNorm (`autoencoder_kl.py:29-47`)."""
+    """Single-head spatial self-attention with GroupNorm (`autoencoder_kl.py:29-47`).
+
+    Explicit to_q/k/v/out projections so HF/reference torch checkpoints map
+    1:1 (load_torch_vae_weights).
+    """
 
     dim: int
     num_heads: int = 1
@@ -27,12 +31,19 @@ class VAEAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from nova_pointcloud_tpu.ops.attention import sdpa
+
         b, h, w, c = x.shape
         y = nn.GroupNorm(32, epsilon=1e-6, name="group_norm")(x)
         y = y.reshape(b, h * w, c)
-        y = nn.MultiHeadDotProductAttention(self.num_heads, dtype=self.dtype,
-                                            name="attn")(y, y)
-        y = nn.Dense(self.dim, dtype=self.dtype, name="to_out")(y)
+        heads, hd = self.num_heads, self.dim // self.num_heads
+        q = nn.Dense(self.dim, dtype=self.dtype, name="to_q")(y)
+        k = nn.Dense(self.dim, dtype=self.dtype, name="to_k")(y)
+        v = nn.Dense(self.dim, dtype=self.dtype, name="to_v")(y)
+        q, k, v = [t.reshape(b, h * w, heads, hd).transpose(0, 2, 1, 3)
+                   for t in (q, k, v)]
+        o = sdpa(q, k, v).transpose(0, 2, 1, 3).reshape(b, h * w, self.dim)
+        y = nn.Dense(self.dim, dtype=self.dtype, name="to_out")(o)
         return y.reshape(b, h, w, c)
 
 
