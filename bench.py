@@ -32,11 +32,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dry-run", action="store_true",
                     help="tiny model / 2 steps, CI smoke")
+    ap.add_argument("--mode", choices=("t2pc", "t2i"), default="t2pc")
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--steps", type=int, default=25)
+    ap.add_argument("--ar-steps", type=int, default=64)
     ap.add_argument("--points", type=int, default=2048)
     ap.add_argument("--repeats", type=int, default=5)
     args = ap.parse_args()
+    if args.mode == "t2i":
+        return bench_t2i(args)
 
     from nova_pointcloud_tpu.models.pointcloud import NOVAPointCloudTransformer
     from nova_pointcloud_tpu.models.text_encoders.dummy import DummyTextEncoder
@@ -105,6 +109,66 @@ def main():
         "batch": batch, "diffusion_steps": steps, "points": points,
         "params_m": round(n_params / 1e6, 1),
         "backend": jax.default_backend(),
+    }))
+
+
+def bench_t2i(args):
+    """Secondary benchmark: NOVA d48w1024 sd512-class text-to-image sampler
+    (32x32 latent patches, 64 AR x 25 diffusion steps, CFG x2), one chip."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nova_pointcloud_tpu.models.nova import NOVATransformer
+    from nova_pointcloud_tpu.models.text_encoders.dummy import DummyTextEncoder
+    from nova_pointcloud_tpu.pipelines.nova import NOVAPipeline
+    from nova_pointcloud_tpu.schedulers import FlowMatchEulerScheduler
+
+    on_tpu = jax.default_backend() == "tpu"
+    batch = args.batch if args.batch != 64 else 4
+    scheduler = FlowMatchEulerScheduler()
+    model = NOVATransformer(
+        arch=("vit_d16w1024", "vit_d32w1024", "mlp_d6w1024"),
+        image_dim=4, image_base_size=(32, 32), video_base_size=(1, 16, 16),
+        patch_size=2, text_token_dim=256, text_token_len=32,
+        noise_scheduler=scheduler,
+        dtype=jnp.bfloat16 if on_tpu else None)
+    from nova_pointcloud_tpu.pipelines.builder import init_transformer
+
+    params = init_transformer(model, seed=0, batch=1)
+    if on_tpu:
+        params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    pipe = NOVAPipeline(model, params, scheduler,
+                        text_encoder=DummyTextEncoder(256, 32))
+    prompts = [f"a scene {i}" for i in range(batch)]
+    print(f"# t2i d48w1024 params={n_params/1e6:.1f}M batch={batch} "
+          f"ar={args.ar_steps} diff={args.steps}", file=sys.stderr)
+
+    def run(key):
+        out = pipe(prompts, num_inference_steps=args.ar_steps,
+                   num_diffusion_steps=args.steps, guidance_scale=5.0,
+                   key=key, output_type="latent")
+        return np.asarray(out.latents)  # D2H forces completion
+
+    t0 = time.perf_counter()
+    run(jax.random.PRNGKey(0))
+    compile_s = time.perf_counter() - t0
+    times = []
+    for i in range(args.repeats):
+        t0 = time.perf_counter()
+        run(jax.random.PRNGKey(i + 1))
+        times.append(time.perf_counter() - t0)
+    p50 = float(np.percentile(times, 50))
+    sps = batch / p50
+    print(f"# compile={compile_s:.1f}s p50_batch={p50*1000:.0f}ms",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "t2i_512_0.6B_samples_per_sec_per_chip",
+        "value": round(sps, 3), "unit": "samples/sec/chip",
+        "vs_baseline": None, "p50_latency_ms_per_sample": round(p50 / batch * 1000, 1),
+        "batch": batch, "ar_steps": args.ar_steps, "diffusion_steps": args.steps,
+        "params_m": round(n_params / 1e6, 1), "backend": jax.default_backend(),
     }))
 
 
