@@ -112,10 +112,12 @@ class Trainer:
 
     def train(self, data: Iterator[Dict[str, Any]],
               max_steps: Optional[int] = None) -> Dict[str, float]:
+        import contextlib
+
         max_steps = max_steps or self.max_steps
         meters: Dict[str, SmoothedValue] = {}
         timer = Timer()
-        ctx = self.mesh if self.mesh is not None else _nullcontext()
+        ctx = self.mesh if self.mesh is not None else contextlib.nullcontext()
         last = {}
         with ctx:
             while self.step < max_steps:
@@ -145,10 +147,3 @@ class Trainer:
                     self.save()
         return last
 
-
-class _nullcontext:
-    def __enter__(self):
-        return None
-
-    def __exit__(self, *a):
-        return False

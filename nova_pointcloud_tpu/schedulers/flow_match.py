@@ -76,14 +76,16 @@ class FlowMatchEulerScheduler:
     # -- inference --------------------------------------------------------
     def set_timesteps(self, num_inference_steps: int, shift: Optional[float] = None,
                       mu: Optional[float] = None) -> FlowMatchSchedule:
+        """Reference recipe (scheduling_cfm.py:92-103): linspace over t between
+        the first/last entries of the *shifted* train table, then re-shift."""
         shift = self.shift if shift is None else shift
-        base = self.train_sigmas() if not self.use_dynamic_shifting else None
-        sigma_max = float(_apply_shift(np.float32(1.0), shift)) if not self.use_dynamic_shifting else 1.0
-        sigma_min = float(_apply_shift(np.float32(1.0 / self.num_train_timesteps), shift)) \
-            if not self.use_dynamic_shifting else 1.0 / self.num_train_timesteps
-        del base
-        # Reference: linspace over *unshifted* t then shift (scheduling_cfm.py:92-103),
-        # where sigma_max/min are the first/last entries of the shifted train table.
+        if self.use_dynamic_shifting:
+            sigma_max = 1.0
+            sigma_min = 1.0 / self.num_train_timesteps
+        else:
+            sigma_max = float(_apply_shift(np.float32(1.0), shift))
+            sigma_min = float(_apply_shift(
+                np.float32(1.0 / self.num_train_timesteps), shift))
         t_max = sigma_max * self.num_train_timesteps
         t_min = sigma_min * self.num_train_timesteps
         ts = np.linspace(t_max, t_min, num_inference_steps, dtype=np.float32)
