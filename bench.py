@@ -38,6 +38,8 @@ def main():
     ap.add_argument("--ar-steps", type=int, default=64)
     ap.add_argument("--points", type=int, default=2048)
     ap.add_argument("--repeats", type=int, default=5)
+    ap.add_argument("--quantize", action="store_true",
+                    help="int8 MLP serving path (reported as a variant)")
     args = ap.parse_args()
     if args.mode == "t2i":
         return bench_t2i(args)
@@ -63,7 +65,7 @@ def main():
 
     model = NOVAPointCloudTransformer(
         arch=arch, point_cloud_size=points, patch_size=16 if not args.dry_run else 1,
-        text_token_dim=256, dropout=0.0,
+        text_token_dim=256, dropout=0.0, quantize=args.quantize,
         dtype=jnp.bfloat16 if on_tpu else None)
     x = jnp.zeros((batch, points, 3))
     t = jnp.zeros((batch,), jnp.int32)
@@ -101,7 +103,8 @@ def main():
     print(f"# compile={compile_s:.1f}s p50_batch={p50_batch*1000:.1f}ms "
           f"p50/sample={p50_latency_ms:.2f}ms", file=sys.stderr)
     print(json.dumps({
-        "metric": "t2pc_2048pt_0.6B_samples_per_sec_per_chip",
+        "metric": "t2pc_2048pt_0.6B_samples_per_sec_per_chip"
+                  + ("_int8" if args.quantize else ""),
         "value": round(samples_per_sec, 3),
         "unit": "samples/sec/chip",
         "vs_baseline": round(samples_per_sec / H100_EST_SAMPLES_PER_SEC, 3),

@@ -103,26 +103,39 @@ class ClusterBlock(nn.Module):
 
 
 class PreLNBlock(nn.Module):
-    """norm_first TransformerEncoderLayer equivalent (`:590-598`)."""
+    """norm_first TransformerEncoderLayer equivalent (`:590-598`).
+
+    ``quantize`` switches the MLP matmuls (2/3 of block FLOPs) to the int8
+    serving path (ops/quantization); parameter trees stay identical, so bf16
+    checkpoints serve quantized with no conversion step.
+    """
 
     dim: int
     num_heads: int
     mlp_ratio: float = 4.0
     dropout: float = 0.1
+    quantize: bool = False
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        from nova_pointcloud_tpu.ops.quantization import Int8Dense
+
+        if self.quantize:
+            dense = lambda f, name: Int8Dense(  # noqa: E731
+                f, dtype=self.dtype or jnp.bfloat16, name=name)
+        else:
+            dense = lambda f, name: nn.Dense(f, dtype=self.dtype, name=name)  # noqa: E731
         h = nn.LayerNorm(name="norm1")(x)
         h = nn.MultiHeadDotProductAttention(
             self.num_heads, dropout_rate=self.dropout, dtype=self.dtype,
             deterministic=deterministic, name="attn")(h, h)
         x = x + nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = nn.LayerNorm(name="norm2")(x)
-        h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="fc1")(h)
+        h = dense(int(self.dim * self.mlp_ratio), "fc1")(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(
             nn.gelu(h, approximate=False))
-        h = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(h)
+        h = dense(self.dim, "fc2")(h)
         return x + nn.Dropout(self.dropout, deterministic=deterministic)(h)
 
 
@@ -134,6 +147,7 @@ class _ScanBlockBody(nn.Module):
     dropout: float
     deterministic: bool
     remat: bool = False
+    quantize: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -141,7 +155,8 @@ class _ScanBlockBody(nn.Module):
         cls = nn.remat(PreLNBlock, static_argnums=(2,)) if self.remat \
             else PreLNBlock
         out = cls(self.dim, self.num_heads, dropout=self.dropout,
-                  dtype=self.dtype, name="block")(carry, self.deterministic)
+                  quantize=self.quantize, dtype=self.dtype,
+                  name="block")(carry, self.deterministic)
         return out, None
 
 
@@ -159,6 +174,7 @@ class BlockStack(nn.Module):
     num_heads: int
     dropout: float = 0.1
     remat: bool = False
+    quantize: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -170,7 +186,7 @@ class BlockStack(nn.Module):
             length=self.depth,
             metadata_params={nn.meta.PARTITION_NAME: None},
         )(self.dim, self.num_heads, self.dropout, deterministic, self.remat,
-          self.dtype, name="layers")
+          self.quantize, self.dtype, name="layers")
         h, _ = body(h, None)
         return h
 
@@ -186,6 +202,7 @@ class NOVAPointCloudTransformer(nn.Module):
     use_depth_pe: bool = False
     dropout: float = 0.1
     remat: bool = False
+    quantize: bool = False  # int8 MLP serving path
     dtype: Any = None
 
     @property
@@ -229,8 +246,8 @@ class NOVAPointCloudTransformer(nn.Module):
             h = h + jnp.mean(t, axis=1, keepdims=True)
 
         h = BlockStack(depth, dim, heads, dropout=self.dropout,
-                       remat=self.remat, dtype=self.dtype,
-                       name="blocks")(h, deterministic)
+                       remat=self.remat, quantize=self.quantize,
+                       dtype=self.dtype, name="blocks")(h, deterministic)
 
         out = nn.Dense(p * 3, dtype=self.dtype, name="output_proj",
                        kernel_init=nn.initializers.xavier_uniform())(h)

@@ -1,0 +1,67 @@
+"""Int8 quantized matmul path (w8a8) for serving.
+
+v5e's MXU runs int8 at 2x the bf16 rate; the flagship t2pc pipeline is
+compute-bound in its MLP matmuls, so a dynamic-activation / per-channel-weight
+int8 path is the main headroom beyond ~60% bf16 MFU. Symmetric quantization:
+
+    y = (q(x) @ q(W)) * s_x * s_w,   q(v) = round(v / s) in [-127, 127]
+
+Weights are quantized once (per output channel); activations per token at
+runtime. Accumulation in int32, rescale in fp32. Not used in training.
+"""
+
+from typing import Any, NamedTuple, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class QuantizedWeight(NamedTuple):
+    values: jax.Array  # int8 (in, out)
+    scales: jax.Array  # f32 (out,)
+
+
+def quantize_weight(w: jax.Array) -> QuantizedWeight:
+    """Per-output-channel symmetric int8 quantization of (in, out) kernels."""
+    w = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w), axis=0)
+    scales = jnp.maximum(amax / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(w / scales), -127, 127).astype(jnp.int8)
+    return QuantizedWeight(q, scales)
+
+
+def quantize_activations(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-token (last-dim) symmetric int8 quantization."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scales = jnp.maximum(amax / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(x / scales), -127, 127).astype(jnp.int8)
+    return q, scales
+
+
+def int8_matmul(x: jax.Array, wq: QuantizedWeight,
+                out_dtype=jnp.bfloat16) -> jax.Array:
+    """x (..., in) @ int8 weights -> (..., out) with int32 accumulation."""
+    xq, sx = quantize_activations(x)
+    acc = jax.lax.dot_general(xq, wq.values, (((xq.ndim - 1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    return (acc.astype(jnp.float32) * sx * wq.scales).astype(out_dtype)
+
+
+class Int8Dense(nn.Module):
+    """Dense whose matmul runs int8; params stored fp32 and quantized in-graph
+    (XLA folds the weight quantization into a constant at serving time)."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (x.shape[-1], self.features))
+        y = int8_matmul(x, quantize_weight(kernel), self.dtype)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(y.dtype)
+        return y
