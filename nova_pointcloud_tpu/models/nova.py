@@ -329,6 +329,11 @@ class NOVATransformer(nn.Module):
             c_vid = jnp.concatenate([bov, vid], axis=1)
         else:
             c_vid = bov
+            if self.is_initializing():
+                # materialize video_patch_embed params even for T=1 so image
+                # checkpoints stay video-capable (the reference always creates
+                # it, `transformer_nova.py:77`)
+                _ = self.video_patch_embed(x[:, :1])
         states = self.encode_video(c_vid, c_text, t)  # (B, T*Nv, D)
 
         # MAM: mask and encode every frame against its own states
