@@ -267,15 +267,25 @@ class FeatureDataLoader:
         self.reader.close()
 
 
-def parse_features(record: Dict[str, Any]) -> Dict[str, np.ndarray]:
-    """Decode one feature record (`flex_transforms.py:31-66` semantics)."""
+def parse_features(record: Dict[str, Any],
+                   rng: Optional[np.random.RandomState] = None
+                   ) -> Dict[str, np.ndarray]:
+    """Decode one feature record (`flex_transforms.py:31-66` semantics).
+
+    When both short and long caption embeds are stored, one is picked 50/50
+    per example like the reference worker (`flex_transforms.py:49-57`).
+    """
     out: Dict[str, Any] = {}
     if "moments" in record:
         out["moments"] = record["moments"].astype(np.float32)
     if "latents" in record:
         out["latents"] = record["latents"].astype(np.float32)
     if "caption_embed" in record:
-        out["text_embeds"] = record["caption_embed"].astype(np.float32)
+        emb = record["caption_embed"]
+        if "caption_embed_long" in record:
+            pick_long = (rng or np.random).rand() < 0.5
+            emb = record["caption_embed_long"] if pick_long else emb
+        out["text_embeds"] = emb.astype(np.float32)
     if "label" in record:
         out["labels"] = record["label"].astype(np.int32)
     if "text" in record:
