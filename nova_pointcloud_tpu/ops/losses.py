@@ -41,10 +41,17 @@ def sinkhorn_emd(pred: jax.Array, target: jax.Array, epsilon: float = 0.02,
 
     Replaces the reference's host-side Hungarian EMD for training
     (`train_newloss.py:352-377`); log-domain iterations for stability.
+
+    Gradients use the envelope theorem: the potentials (and hence the
+    transport plan) are treated as fixed at the optimum and the loss is
+    differentiated through the cost matrix only. Without this, AD unrolls
+    ``num_iters`` logsumexp passes and saves (B, N, M) residuals per
+    iteration — ~2 GB at B=16, N=1024 — which OOMs a training step.
     """
     b, n, _ = pred.shape
     m = target.shape[1]
     cost = pairwise_sqdist(pred, target)  # (B, N, M)
+    cost_sg = jax.lax.stop_gradient(cost)
     log_mu = jnp.full((b, n), -np.log(n))
     log_nu = jnp.full((b, m), -np.log(m))
     f = jnp.zeros((b, n))
@@ -53,14 +60,15 @@ def sinkhorn_emd(pred: jax.Array, target: jax.Array, epsilon: float = 0.02,
     def body(_, fg):
         f, g = fg
         # f_i = eps*(log mu_i - logsumexp_j((g_j - C_ij)/eps))
-        f = epsilon * (log_mu - jax.nn.logsumexp((g[:, None, :] - cost) / epsilon, axis=2))
-        g = epsilon * (log_nu - jax.nn.logsumexp((f[:, :, None] - cost) / epsilon, axis=1))
+        f = epsilon * (log_mu - jax.nn.logsumexp(
+            (g[:, None, :] - cost_sg) / epsilon, axis=2))
+        g = epsilon * (log_nu - jax.nn.logsumexp(
+            (f[:, :, None] - cost_sg) / epsilon, axis=1))
         return f, g
 
     f, g = jax.lax.fori_loop(0, num_iters, body, (f, g))
-    log_plan = (f[:, :, None] + g[:, None, :] - cost) / epsilon
-    plan = jnp.exp(log_plan)
-    return jnp.sum(plan * cost, axis=(1, 2))
+    plan = jnp.exp((f[:, :, None] + g[:, None, :] - cost_sg) / epsilon)
+    return jnp.sum(jax.lax.stop_gradient(plan) * cost, axis=(1, 2))
 
 
 def hungarian_emd_host(pred: np.ndarray, target: np.ndarray) -> float:

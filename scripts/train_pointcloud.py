@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--patience", type=int, default=8)
     ap.add_argument("--grad-clip", type=float, default=50.0)
     ap.add_argument("--ema-decay", type=float, default=0.99)
+    ap.add_argument("--no-remat", action="store_true",
+                    help="disable per-block gradient checkpointing")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -81,7 +83,8 @@ def main():
     text_encoder = DummyTextEncoder(256, 16)
     model = NOVAPointCloudTransformer(
         arch=args.arch, point_cloud_size=args.max_points,
-        patch_size=args.patch_size, text_token_dim=256)
+        patch_size=args.patch_size, text_token_dim=256,
+        remat=not args.no_remat)
     x0 = jnp.zeros((2, args.max_points, 3))
     params = jax.jit(model.init)(
         {"params": jax.random.PRNGKey(args.seed),
