@@ -83,10 +83,17 @@ def main():
         text_encoder=DummyTextEncoder(256, 32))
     prompts = [f"a chair {i}" for i in range(batch)]
 
+    # The axon relay does not honor jax.block_until_ready (CLAUDE.md), so
+    # timing must force a device-to-host transfer. D2H bandwidth through the
+    # tunnel is ~27MB/s: transferring the full (B, N, 3) cloud would dominate,
+    # so reduce to one scalar on device (depends on every output element) and
+    # pull 4 bytes.
+    checksum = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
+
     def run(key):
         out = pipe(prompts, num_points=points, num_diffusion_steps=steps,
                    guidance_scale=7.5, key=key, output_type="jax")
-        jax.block_until_ready(out.point_clouds)
+        np.asarray(checksum(out.point_clouds))  # D2H forces completion
         return out
 
     t0 = time.perf_counter()

@@ -23,6 +23,7 @@ import os
 import queue
 import subprocess
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
@@ -199,9 +200,10 @@ class FeatureDataLoader:
     def __init__(self, dataset: str, batch_size: int, seed: int = 0,
                  shuffle: bool = True, shard_id: Optional[int] = None,
                  num_shards: Optional[int] = None, prefetch: int = 4,
-                 parse_fn=None):
+                 parse_fn=None, num_workers: int = 4):
         self.reader = RecordReader(dataset)
         self.batch_size = batch_size
+        self._default_parse = parse_fn is None
         self.parse_fn = parse_fn or parse_features
         n = len(self.reader)
         if num_shards is None:
@@ -215,6 +217,11 @@ class FeatureDataLoader:
         self.indices = np.arange(shard_id or 0, n, num_shards or 1)
         self.rng = np.random.RandomState(seed + (shard_id or 0))
         self.shuffle = shuffle
+        # parallel record decode, reference semantics of the N FeatureWorker
+        # processes + BalancedQueues (`flex_loaders.py:58-165`); threads
+        # suffice here because decode is numpy (releases the GIL) over mmap
+        self._pool = (ThreadPoolExecutor(num_workers)
+                      if num_workers and num_workers > 1 else None)
         self._queue: "queue.Queue" = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._worker, daemon=True)
@@ -236,8 +243,19 @@ class FeatureDataLoader:
                                  i + 2 * self.batch_size]
                 if len(next_idx):
                     self.reader.prefetch(next_idx)
-                examples = [self.parse_fn(self.reader[int(j)])
-                            for j in batch_idx]
+                if self._default_parse:
+                    # pre-draw the 50/50 caption picks from the seeded
+                    # per-shard stream so parallel decode stays deterministic
+                    us = self.rng.rand(len(batch_idx))
+                    fn = lambda ju: parse_features(  # noqa: E731
+                        self.reader[ju[0]], u=ju[1])
+                    jobs = [(int(j), float(u))
+                            for j, u in zip(batch_idx, us)]
+                else:
+                    fn = lambda ju: self.parse_fn(self.reader[ju[0]])  # noqa: E731
+                    jobs = [(int(j), None) for j in batch_idx]
+                examples = (list(self._pool.map(fn, jobs)) if self._pool
+                            else [fn(j) for j in jobs])
                 batch = _collate(examples)
                 while not self._stop.is_set():
                     try:
@@ -258,6 +276,8 @@ class FeatureDataLoader:
 
     def shutdown(self):
         self._stop.set()
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
         try:
             while True:
                 self._queue.get_nowait()
@@ -268,12 +288,14 @@ class FeatureDataLoader:
 
 
 def parse_features(record: Dict[str, Any],
-                   rng: Optional[np.random.RandomState] = None
-                   ) -> Dict[str, np.ndarray]:
+                   rng: Optional[np.random.RandomState] = None,
+                   u: Optional[float] = None) -> Dict[str, np.ndarray]:
     """Decode one feature record (`flex_transforms.py:31-66` semantics).
 
     When both short and long caption embeds are stored, one is picked 50/50
     per example like the reference worker (`flex_transforms.py:49-57`).
+    ``u`` is a pre-drawn uniform for that pick (FeatureDataLoader passes one
+    from its seeded per-shard stream); otherwise ``rng`` is drawn from.
     """
     out: Dict[str, Any] = {}
     if "moments" in record:
@@ -283,8 +305,14 @@ def parse_features(record: Dict[str, Any],
     if "caption_embed" in record:
         emb = record["caption_embed"]
         if "caption_embed_long" in record:
-            pick_long = (rng or np.random).rand() < 0.5
-            emb = record["caption_embed_long"] if pick_long else emb
+            long_emb = record["caption_embed_long"]
+            if long_emb.shape != emb.shape:
+                raise ValueError(
+                    "caption_embed and caption_embed_long must share one "
+                    f"padded shape, got {emb.shape} vs {long_emb.shape}; "
+                    "pad them to a common length at record-write time")
+            r = u if u is not None else (rng or np.random).rand()
+            emb = long_emb if r < 0.5 else emb
         out["text_embeds"] = emb.astype(np.float32)
     if "label" in record:
         out["labels"] = record["label"].astype(np.int32)

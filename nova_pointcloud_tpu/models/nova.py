@@ -227,8 +227,12 @@ class NOVATransformer(nn.Module):
         states, _ = self.video_encoder(c_vid.reshape(b, t * nv, d), c=c_text,
                                        bias=bias, rope=rope)
         if self.video_mixer_rank is not None and t > 1:
+            # mixer(x=first-frame states, z=later-frame states): the first
+            # frame's states are re-modulated by stats from each later frame
+            # (`transformer_3d.py:180-181` splits [1, T-1] and calls
+            # mixer(first, later); x broadcasts over the T-1 axis).
             s = states.reshape(b, t, nv, d)
-            mixed = self.mixer(s[:, 1:], s[:, :1])
+            mixed = self.mixer(s[:, :1], s[:, 1:])
             states = jnp.concatenate([s[:, :1], mixed], 1).reshape(b, t * nv, d)
         return states
 
@@ -292,8 +296,12 @@ class NOVATransformer(nn.Module):
         return states, caches
 
     def mix_states(self, first: jax.Array, cur: jax.Array) -> jax.Array:
-        """AdaLN state mixer at decode (`transformer_3d.py:156-158`)."""
-        return self.mixer(cur, first)
+        """AdaLN state mixer at decode (`transformer_3d.py:156-158`).
+
+        mixer(x=first-frame states, z=current-frame states) — the reference
+        calls ``mixer(states["*"], c)`` where ``states["*"]`` is frame 0.
+        """
+        return self.mixer(first, cur)
 
     # -- training -------------------------------------------------------------
     def train_losses(self, x: jax.Array, text_embeds: Optional[jax.Array] = None,

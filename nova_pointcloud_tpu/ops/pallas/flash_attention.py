@@ -1,9 +1,9 @@
-"""Fused flash attention for TPU (Pallas).
+"""Fused flash attention for TPU (Pallas), forward + backward.
 
 Replaces the reference's torch SDPA / flash_attn kernels on the NOVA image /
 video encoder hot path (`vision_transformer.py:63`, `phi.py:126-137`): online
 softmax over K/V blocks so the (Lq, Lk) score matrix never materializes in
-HBM.
+HBM, in training as well as inference.
 
 Supported bias forms (covers every NOVA use):
 - None
@@ -11,9 +11,11 @@ Supported bias forms (covers every NOVA use):
   (ops/masking.visibility_bias, ops/attention.cached_attention)
 - full bias (Lq, Lk): block-causal teacher forcing, shared across batch
 
-Forward-only by design: inference is the latency-critical path; training
-attention stays on XLA (fused + differentiable). The dispatcher in
-ops/attention.py only routes here when jax runs on TPU.
+Differentiation: :func:`flash_attention` carries a ``jax.custom_vjp`` whose
+backward is the standard two-kernel flash recomputation (dk/dv over key
+blocks, dq over query blocks) using the forward's saved logsumexp. Biases are
+mask constants in NOVA (visibility / block-causal), so their cotangent is
+declared zero.
 """
 
 import functools
@@ -27,8 +29,11 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, kbias_ref, fbias_ref, o_ref,
-                  *, blk_k: int, sm_scale: float, num_k: int):
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+def _fwd_kernel(q_ref, k_ref, v_ref, kbias_ref, fbias_ref, o_ref, lse_ref,
+                *, blk_k: int, sm_scale: float, num_k: int):
     q = q_ref[0].astype(jnp.float32) * sm_scale  # (blk_q, d)
     blk_q, d = q.shape
 
@@ -56,18 +61,312 @@ def _flash_kernel(q_ref, k_ref, v_ref, kbias_ref, fbias_ref, o_ref,
     l0 = jnp.zeros((blk_q, 1), jnp.float32)
     o, m, l = jax.lax.fori_loop(0, num_k, body, (o0, m0, l0))
     # fully-masked rows: l == 0 -> emit zeros (parity with ops/attention.sdpa)
-    o = o / jnp.where(l == 0.0, 1.0, l)
+    masked = l == 0.0
+    o = o / jnp.where(masked, 1.0, l)
+    # lse = m + log(l); fully-masked rows get +inf-like so bwd exp() -> 0
+    lse = jnp.where(masked, -NEG_INF, m + jnp.log(jnp.where(masked, 1.0, l)))
     o_ref[0] = o.astype(o_ref.dtype)
+    lse_ref[0] = lse[:, 0]
 
 
+# ---------------------------------------------------------------------------
+# backward kernels (standard flash recomputation)
+# ---------------------------------------------------------------------------
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, kbias_ref, fbias_ref, do_ref,
+                    lse_ref, delta_ref, dk_ref, dv_ref,
+                    *, blk_q: int, sm_scale: float, num_q: int):
+    k = k_ref[0].astype(jnp.float32)  # (blk_k, d)
+    v = v_ref[0].astype(jnp.float32)
+    blk_k, d = k.shape
+    kb = None if kbias_ref is None else kbias_ref[0, 0][None, :]  # (1, blk_k)
+
+    def body(i, carry):
+        dk_acc, dv_acc = carry
+        q = q_ref[0, pl.ds(i * blk_q, blk_q), :].astype(jnp.float32)
+        do = do_ref[0, pl.ds(i * blk_q, blk_q), :].astype(jnp.float32)
+        lse = lse_ref[0, pl.ds(i * blk_q, blk_q)][:, None]
+        delta = delta_ref[0, pl.ds(i * blk_q, blk_q)][:, None]
+        s = jax.lax.dot_general(q * sm_scale, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if kb is not None:
+            s = s + kb
+        if fbias_ref is not None:
+            s = s + fbias_ref[0, pl.ds(i * blk_q, blk_q), :]
+        p = jnp.exp(s - lse)  # (blk_q, blk_k)
+        dv_new = dv_acc + jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta) * sm_scale
+        dk_new = dk_acc + jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return dk_new, dv_new
+
+    dk0 = jnp.zeros((blk_k, d), jnp.float32)
+    dv0 = jnp.zeros((blk_k, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, num_q, body, (dk0, dv0))
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, kbias_ref, fbias_ref, do_ref,
+                   lse_ref, delta_ref, dq_ref,
+                   *, blk_k: int, sm_scale: float, num_k: int):
+    q = q_ref[0].astype(jnp.float32)  # (blk_q, d)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0][:, None]
+    delta = delta_ref[0][:, None]
+    blk_q, d = q.shape
+
+    def body(i, dq_acc):
+        k = k_ref[0, pl.ds(i * blk_k, blk_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * blk_k, blk_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q * sm_scale, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if kbias_ref is not None:
+            s = s + kbias_ref[0, 0, pl.ds(i * blk_k, blk_k)][None, :]
+        if fbias_ref is not None:
+            s = s + fbias_ref[0, :, pl.ds(i * blk_k, blk_k)]
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta) * sm_scale
+        return dq_acc + jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    dq = jax.lax.fori_loop(0, num_k, body, jnp.zeros((blk_q, d), jnp.float32))
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# custom-vjp core over padded, (B*H)-flattened operands
+# ---------------------------------------------------------------------------
+def _bias_specs_args(key_bias, full_bias, lq, lk, h, blk_q, blk_k, by_q):
+    """BlockSpecs + args for the optional biases.
+
+    by_q: index_map keyed by (bh, q-block) grid; else (bh, k-block) grid where
+    the full bias block is the whole Lq x blk_k column stripe.
+    """
+    specs, args = [], []
+    if key_bias is not None:
+        kb = jnp.repeat(key_bias.astype(jnp.float32), h, axis=0)[:, None, :]
+        if by_q:  # kernel loops over k internally: give it the whole row
+            specs.append(pl.BlockSpec((1, 1, lk), lambda i, j: (i, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        else:  # j indexes k-blocks: slice the row per block
+            specs.append(pl.BlockSpec((1, 1, blk_k), lambda i, j: (i, 0, j),
+                                      memory_space=pltpu.VMEM))
+        args.append(kb)
+    if full_bias is not None:
+        fb = full_bias.astype(jnp.float32)[None]
+        if by_q:
+            specs.append(pl.BlockSpec((1, blk_q, lk),
+                                      lambda i, j: (0, j, 0),
+                                      memory_space=pltpu.VMEM))
+        else:
+            specs.append(pl.BlockSpec((1, lq, blk_k),
+                                      lambda i, j: (0, 0, j),
+                                      memory_space=pltpu.VMEM))
+        args.append(fb)
+    return specs, args
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _flash(qf, kf, vf, key_bias, full_bias, blk_q, blk_k):
+    out, _ = _flash_fwd_impl(qf, kf, vf, key_bias, full_bias, blk_q, blk_k)
+    return out
+
+
+def _flash_fwd_impl(qf, kf, vf, key_bias, full_bias, blk_q, blk_k):
+    bh, lq, d = qf.shape
+    lk = kf.shape[1]
+    num_k = lk // blk_k
+    h = bh // key_bias.shape[0] if key_bias is not None else 1
+
+    in_specs = [
+        pl.BlockSpec((1, blk_q, d), lambda i, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, lk, d), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, lk, d), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [qf, kf, vf]
+    bspecs, bargs = _bias_specs_args(key_bias, full_bias, lq, lk, h,
+                                     blk_q, blk_k, by_q=True)
+    in_specs += bspecs
+    args += bargs
+
+    def kernel(*refs):
+        pos = 3
+        kbias_ref = fbias_ref = None
+        if key_bias is not None:
+            kbias_ref = refs[pos]
+            pos += 1
+        if full_bias is not None:
+            fbias_ref = refs[pos]
+            pos += 1
+        _fwd_kernel(refs[0], refs[1], refs[2], kbias_ref, fbias_ref,
+                    refs[-2], refs[-1], blk_k=blk_k, sm_scale=d**-0.5,
+                    num_k=num_k)
+
+    out, lse = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((bh, lq, d), qf.dtype),
+                   jax.ShapeDtypeStruct((bh, lq), jnp.float32)],
+        grid_spec=pl.GridSpec(
+            grid=(bh, lq // blk_q),
+            in_specs=in_specs,
+            out_specs=[pl.BlockSpec((1, blk_q, d), lambda i, j: (i, j, 0),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((1, blk_q), lambda i, j: (i, j),
+                                    memory_space=pltpu.VMEM)],
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * lq * lk * d,
+            bytes_accessed=bh * (lq + 2 * lk) * d * qf.dtype.itemsize,
+            transcendentals=bh * lq * lk,
+        ),
+    )(*args)
+    return out, lse
+
+
+def _flash_fwd(qf, kf, vf, key_bias, full_bias, blk_q, blk_k):
+    out, lse = _flash_fwd_impl(qf, kf, vf, key_bias, full_bias, blk_q, blk_k)
+    return out, (qf, kf, vf, key_bias, full_bias, out, lse)
+
+
+def _flash_bwd(blk_q, blk_k, res, dout):
+    qf, kf, vf, key_bias, full_bias, out, lse = res
+    bh, lq, d = qf.shape
+    lk = kf.shape[1]
+    num_q, num_k = lq // blk_q, lk // blk_k
+    h = bh // key_bias.shape[0] if key_bias is not None else 1
+    sm_scale = d**-0.5
+    delta = jnp.sum(dout.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1)  # (bh, lq)
+
+    qkv_specs_full = [  # whole-length q/do/lse/delta per instance (dkv pass)
+        pl.BlockSpec((1, lq, d), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, blk_k, d), lambda i, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, blk_k, d), lambda i, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    bspecs, bargs = _bias_specs_args(key_bias, full_bias, lq, lk, h,
+                                     blk_q, blk_k, by_q=False)
+    tail_specs = [
+        pl.BlockSpec((1, lq, d), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM),  # do
+        pl.BlockSpec((1, lq), lambda i, j: (i, 0),
+                     memory_space=pltpu.VMEM),  # lse
+        pl.BlockSpec((1, lq), lambda i, j: (i, 0),
+                     memory_space=pltpu.VMEM),  # delta
+    ]
+
+    def dkv_kernel(*refs):
+        pos = 3
+        kbias_ref = fbias_ref = None
+        if key_bias is not None:
+            kbias_ref = refs[pos]
+            pos += 1
+        if full_bias is not None:
+            fbias_ref = refs[pos]
+            pos += 1
+        _bwd_dkv_kernel(refs[0], refs[1], refs[2], kbias_ref, fbias_ref,
+                        refs[pos], refs[pos + 1], refs[pos + 2],
+                        refs[-2], refs[-1],
+                        blk_q=blk_q, sm_scale=sm_scale, num_q=num_q)
+
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        out_shape=[jax.ShapeDtypeStruct((bh, lk, d), kf.dtype),
+                   jax.ShapeDtypeStruct((bh, lk, d), vf.dtype)],
+        grid_spec=pl.GridSpec(
+            grid=(bh, num_k),
+            in_specs=qkv_specs_full + bspecs + tail_specs,
+            out_specs=[pl.BlockSpec((1, blk_k, d), lambda i, j: (i, j, 0),
+                                    memory_space=pltpu.VMEM)] * 2,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * bh * lq * lk * d,
+            bytes_accessed=2 * bh * (lq + 2 * lk) * d * qf.dtype.itemsize,
+            transcendentals=bh * lq * lk,
+        ),
+    )(qf, kf, vf, *bargs, dout, lse, delta)
+
+    qspecs = [
+        pl.BlockSpec((1, blk_q, d), lambda i, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, lk, d), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, lk, d), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    bspecs_q, bargs_q = _bias_specs_args(key_bias, full_bias, lq, lk, h,
+                                         blk_q, blk_k, by_q=True)
+    tail_specs_q = [
+        pl.BlockSpec((1, blk_q, d), lambda i, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),  # do
+        pl.BlockSpec((1, blk_q), lambda i, j: (i, j),
+                     memory_space=pltpu.VMEM),  # lse
+        pl.BlockSpec((1, blk_q), lambda i, j: (i, j),
+                     memory_space=pltpu.VMEM),  # delta
+    ]
+
+    def dq_kernel(*refs):
+        pos = 3
+        kbias_ref = fbias_ref = None
+        if key_bias is not None:
+            kbias_ref = refs[pos]
+            pos += 1
+        if full_bias is not None:
+            fbias_ref = refs[pos]
+            pos += 1
+        _bwd_dq_kernel(refs[0], refs[1], refs[2], kbias_ref, fbias_ref,
+                       refs[pos], refs[pos + 1], refs[pos + 2], refs[-1],
+                       blk_k=blk_k, sm_scale=sm_scale, num_k=num_k)
+
+    dq = pl.pallas_call(
+        dq_kernel,
+        out_shape=jax.ShapeDtypeStruct((bh, lq, d), qf.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(bh, num_q),
+            in_specs=qspecs + bspecs_q + tail_specs_q,
+            out_specs=pl.BlockSpec((1, blk_q, d), lambda i, j: (i, j, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * bh * lq * lk * d,
+            bytes_accessed=2 * bh * (lq + 2 * lk) * d * qf.dtype.itemsize,
+            transcendentals=bh * lq * lk,
+        ),
+    )(qf, kf, vf, *bargs_q, dout, lse, delta)
+
+    dkb = None if key_bias is None else jnp.zeros_like(key_bias)
+    dfb = None if full_bias is None else jnp.zeros_like(full_bias)
+    return dq, dk, dv, dkb, dfb
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+# ---------------------------------------------------------------------------
+# public entry: bias normalization + padding, then the custom-vjp core
+# ---------------------------------------------------------------------------
 @functools.partial(jax.jit, static_argnames=("blk_q", "blk_k"))
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     bias: Optional[jax.Array] = None,
                     blk_q: int = 256, blk_k: int = 512) -> jax.Array:
-    """q, k, v: (B, H, L, D) -> (B, H, Lq, D).
+    """q, k, v: (B, H, L, D) -> (B, H, Lq, D). Differentiable (custom VJP).
 
     bias: None | (B, 1, 1, Lk) key bias | (1, 1, Lq, Lk) full bias
     (other broadcastable shapes fall back to dense XLA attention upstream).
+    Bias cotangents are zero (mask constants in NOVA).
     """
     b, h, lq, d = q.shape
     lk = k.shape[2]
@@ -106,58 +405,7 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         full_bias = jnp.pad(full_bias, ((0, pad_q), (0, 0)))
 
     bh = b * h
-    qf = q.reshape(bh, lq, d)
-    kf = k.reshape(bh, lk, d)
-    vf = v.reshape(bh, lk, d)
-    num_k = lk // blk_k
-    grid = (bh, lq // blk_q)
-
-    in_specs = [
-        pl.BlockSpec((1, blk_q, d), lambda i, j: (i, j, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, lk, d), lambda i, j: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, lk, d), lambda i, j: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
-    ]
-    args = [qf, kf, vf]
-    if key_bias is not None:
-        kb = jnp.repeat(key_bias.astype(jnp.float32), h, axis=0)  # (B*H, Lk)
-        kb = kb[:, None, :]  # unit middle dim keeps the block tiling legal
-        in_specs.append(pl.BlockSpec((1, 1, lk), lambda i, j: (i, 0, 0),
-                                     memory_space=pltpu.VMEM))
-        args.append(kb)
-    if full_bias is not None:
-        in_specs.append(pl.BlockSpec((1, blk_q, lk), lambda i, j: (0, j, 0),
-                                     memory_space=pltpu.VMEM))
-        args.append(full_bias.astype(jnp.float32)[None])
-
-    def kernel(*refs):
-        pos = 3
-        kbias_ref = fbias_ref = None
-        if key_bias is not None:
-            kbias_ref = refs[pos]
-            pos += 1
-        if full_bias is not None:
-            fbias_ref = refs[pos]
-            pos += 1
-        _flash_kernel(refs[0], refs[1], refs[2], kbias_ref, fbias_ref,
-                      refs[-1], blk_k=blk_k, sm_scale=d**-0.5, num_k=num_k)
-
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((bh, lq, d), q.dtype),
-        grid_spec=pl.GridSpec(
-            grid=grid,
-            in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, blk_q, d), lambda i, j: (i, j, 0),
-                                   memory_space=pltpu.VMEM),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * bh * lq * lk * d,
-            bytes_accessed=bh * (lq + 2 * lk) * d * q.dtype.itemsize,
-            transcendentals=bh * lq * lk,
-        ),
-    )(*args)
+    out = _flash(q.reshape(bh, lq, d), k.reshape(bh, lk, d),
+                 v.reshape(bh, lk, d), key_bias, full_bias, blk_q, blk_k)
     out = out.reshape(b, h, lq, d)
     return out[:, :, :orig_lq]

@@ -106,6 +106,11 @@ class NOVAPipeline:
             D, **({"shift": flow_shift} if is_flow and flow_shift else {}))
         ts = jnp.asarray(sched.timesteps, jnp.float32)
         counts = masking.cosine_pred_counts(S, ni)
+        # the reference drops zero-prediction steps and decays guidance over
+        # the surviving count (`transformer_3d.py:120-124` all_num_preds);
+        # counts are host numpy, so the scan length stays static.
+        counts = counts[counts > 0]
+        S = len(counts)
         starts, pad_p = masking.pred_boundaries(counts)
         counts_a = jnp.asarray(counts, jnp.int32)
         starts_a = jnp.asarray(starts, jnp.int32)

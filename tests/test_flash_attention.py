@@ -61,3 +61,56 @@ def test_fully_masked_rows_zero(qkv):
     bias = jnp.full((2, 1, 1, 160), -jnp.inf)
     out = run_flash(q, k, v, bias=bias, blk_q=64, blk_k=64)
     np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+
+
+# -- backward (custom VJP, Pallas recompute kernels) -------------------------
+
+def grad_flash(q, k, v, bias=None):
+    from jax.experimental.pallas import tpu as pltpu
+
+    from nova_pointcloud_tpu.ops.pallas.flash_attention import flash_attention
+
+    with pltpu.force_tpu_interpret_mode():
+        return jax.grad(
+            lambda q, k, v: jnp.sum(jnp.sin(
+                flash_attention(q, k, v, bias=bias, blk_q=64, blk_k=64))),
+            argnums=(0, 1, 2))(q, k, v)
+
+
+def grad_sdpa(q, k, v, bias=None):
+    return jax.grad(lambda q, k, v: jnp.sum(jnp.sin(sdpa(q, k, v, bias))),
+                    argnums=(0, 1, 2))(q, k, v)
+
+
+def assert_grads_close(g1, g2):
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-3, rtol=5e-3)
+
+
+def test_grad_matches_sdpa_no_bias(qkv):
+    q, k, v = qkv
+    assert_grads_close(grad_flash(q, k, v), grad_sdpa(q, k, v))
+
+
+def test_grad_matches_sdpa_key_bias(qkv):
+    q, k, v = qkv
+    visible = (jax.random.uniform(jax.random.PRNGKey(9), (2, 160)) > 0.4)
+    bias = jnp.where(visible, 0.0, -jnp.inf)[:, None, None, :]
+    assert_grads_close(grad_flash(q, k, v, bias), grad_sdpa(q, k, v, bias))
+
+
+def test_grad_matches_sdpa_full_bias(qkv):
+    q, k, v = qkv
+    from nova_pointcloud_tpu.ops.masking import block_causal_bias
+
+    bias = block_causal_bias((40, 40, 40, 40))[None, None]
+    assert_grads_close(grad_flash(q, k, v, bias), grad_sdpa(q, k, v, bias))
+
+
+def test_grad_fully_masked_rows_finite(qkv):
+    """All-masked rows must not poison gradients with NaN/Inf."""
+    q, k, v = qkv
+    bias = jnp.full((2, 1, 1, 160), -jnp.inf)
+    for g in grad_flash(q, k, v, bias):
+        assert np.isfinite(np.asarray(g)).all()

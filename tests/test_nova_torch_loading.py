@@ -47,6 +47,42 @@ def test_block_matches_reference_math():
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-3, rtol=5e-3)
 
 
+def test_video_mixer_matches_reference_math():
+    """encode_video's mixer call == the reference's
+    ``mixer(first_frame_states, later_frame_states)`` with eps=None
+    (`transformer_3d.py:180-181`, `transformer_nova.py:89`,
+    `normalization.py:31-36`), via transplanted torch weights."""
+    tn = torch.nn
+    torch.manual_seed(1)
+    dim, rank = 32, 8
+    lora = tn.Linear(dim, rank, bias=False)
+    proj = tn.Linear(rank, 2 * dim)
+    with torch.no_grad():
+        proj.weight.mul_(0.5)  # nonzero so the test can't pass trivially
+        proj.bias.normal_(0, 0.1)
+    s = torch.randn(2, 3, 5, dim)  # (B, T, Nv, D) post-encoder states
+    first, later = s[:, :1], s[:, 1:]
+    with torch.no_grad():
+        stats = proj(lora(tn.functional.silu(later)))
+        scale, shift = stats.chunk(2, dim=-1)
+        # eps=None -> norm is identity; x=first broadcasts over the T-1 axis
+        ref = first * (1 + scale) + shift
+        ref_full = torch.cat([first, ref], 1).numpy()
+
+    from nova_pointcloud_tpu.models.normalization import AdaLayerNorm
+    from nova_pointcloud_tpu.models.torch_loading import _ada_zero
+
+    sd = {"m.proj.weight": proj.weight.detach(),
+          "m.proj.bias": proj.bias.detach(),
+          "m.lora.weight": lora.weight.detach()}
+    params = {"ada": jax.tree.map(jnp.asarray, _ada_zero(sd, "m"))}
+    mixer = AdaLayerNorm(dim, rank, eps=None)
+    sj = jnp.asarray(s.numpy())
+    mixed = mixer.apply({"params": params}, sj[:, :1], sj[:, 1:])
+    out = jnp.concatenate([sj[:, :1], mixed], 1)
+    np.testing.assert_allclose(np.asarray(out), ref_full, atol=1e-5, rtol=1e-5)
+
+
 def _fake_state_dict(model: NOVATransformer) -> dict:
     """Reference-named random state_dict shaped for ``model``."""
     from nova_pointcloud_tpu.models.nova import MLP_ARCHES, VIT_ARCHES
