@@ -192,18 +192,20 @@ class NOVATransformer(nn.Module):
         """(B, 1, Nv, D) raw BOS tokens, no pos (`transformer_3d.py:152,172`)."""
         return self.mask_tokens.bos((batch, 1, self.num_video_tokens))
 
-    def frame_tokens(self, tokens: jax.Array, frame_index: int,
+    def frame_tokens(self, tokens: jax.Array, frame_index,
                      total_frames: int) -> jax.Array:
         """Add per-frame time + space pos to raw (B, Nv, D) tokens (decode).
 
         The time table is built over ``total_frames`` so per-frame rows match
-        the teacher-forced training tables (`embeddings.py:103-111`). No-op
+        the teacher-forced training tables (`embeddings.py:103-111`).
+        ``frame_index`` may be traced (the sampler scans over frames). No-op
         for RoPE models (positions applied inside attention).
         """
         if self.rotary_pos_embed:
             return tokens
         table = self.video_pos_embed.time_embed(total_frames)  # (T, 1, D)
-        tokens = tokens + table[frame_index].astype(tokens.dtype)
+        row = jnp.take(table, frame_index, axis=0)
+        tokens = tokens + row.astype(tokens.dtype)
         return self.video_pos_embed(tokens, add_time=False)
 
     def embed_video_frame(self, x_frame: jax.Array) -> jax.Array:
@@ -278,17 +280,18 @@ class NOVATransformer(nn.Module):
     # -- KV-cached frame decode ----------------------------------------------
     def encode_frame(self, tokens: jax.Array, c_text: Optional[jax.Array],
                      caches: List[KVCache], cache_index: jax.Array,
-                     frame_index: int) -> Tuple[jax.Array, List[KVCache]]:
+                     frame_index) -> Tuple[jax.Array, List[KVCache]]:
         """Video-encoder pass for one frame with KV caches.
 
         tokens: (B, Nv, D); text prefix only on frame 0
-        (`transformer_3d.py:155`). RoPE positions are the frame's own.
+        (`transformer_3d.py:155`). RoPE positions are the frame's own;
+        ``frame_index`` may be traced (frame-scanned sampler).
         """
         pad = 0 if c_text is None else c_text.shape[1]
         rope = None
         if self.rotary_pos_embed:
-            pos = rope_positions(1, self.video_base_size[1:]) + \
-                jnp.array([frame_index, 0, 0], jnp.float32)
+            off = jnp.asarray([1.0, 0.0, 0.0], jnp.float32) * frame_index
+            pos = rope_positions(1, self.video_base_size[1:]) + off
             rope = rope_weights(pos, self.head_dim_v, pad=pad)
         states, caches = self.video_encoder(tokens, c=c_text, rope=rope,
                                             caches=caches,

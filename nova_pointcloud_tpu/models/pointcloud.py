@@ -133,8 +133,11 @@ class PreLNBlock(nn.Module):
         x = x + nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = nn.LayerNorm(name="norm2")(x)
         h = dense(int(self.dim * self.mlp_ratio), "fc1")(h)
-        h = nn.Dropout(self.dropout, deterministic=deterministic)(
-            nn.gelu(h, approximate=False))
+        # relu, not gelu: the reference's nn.TransformerEncoderLayer
+        # (`transformer_pointcloud_nova.py:590-598`) leaves activation at the
+        # torch default (relu). Also ~30ms/pass cheaper than exact gelu at
+        # flagship shapes (erf is transcendental-heavy on the VPU).
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(nn.relu(h))
         h = dense(self.dim, "fc2")(h)
         return x + nn.Dropout(self.dropout, deterministic=deterministic)(h)
 

@@ -175,40 +175,44 @@ class NOVAPipeline:
                 cond = apply(model.encode_video, bos, c_text, 1)
                 return generate_frame(cond, key)[:, None]  # (B, 1, Ni, pd)
 
-            # temporal AR with KV caches (`transformer_3d.py:135-164`)
+            # temporal AR with KV caches (`transformer_3d.py:135-164`).
+            # Frame 0 (BOS + text prefix) is a prologue; frames 1..T-1 run as
+            # ONE lax.scan body, so the per-frame encoder + AR sampler nest
+            # compiles once regardless of T (a Python unroll at T=9 stalls
+            # the remote TPU compiler; see CLAUDE.md).
             text_len = c_text.shape[1]
             caches = model.init_video_caches(nb, text_len, T)
-            cache_index = 0
-            latents: List[jax.Array] = []
-            states_star = None
-            bos_value = None
-            for t_idx in range(T):
+            key, k_frame0 = jax.random.split(key)
+            tokens = apply(model.bos_frame, nb)[:, 0]
+            bos_value = tokens[:1, :1]
+            tokens = apply(model.frame_tokens, tokens, 0, T)
+            states0, caches = apply(model.encode_frame, tokens, c_text,
+                                    caches, 0, 0)
+            states_star = states0 if model.video_mixer_rank is not None else None
+            latent0 = latents0 if prefill else generate_frame(states0, k_frame0)
+            if T == 1:
+                return latent0[:, None]
+
+            def frame_body(carry, t_idx):
+                caches, cache_index, latent_prev, key = carry
                 key, k_frame = jax.random.split(key)
-                if t_idx == 0:
-                    tokens = apply(model.bos_frame, nb)[:, 0]
-                    bos_value = tokens[:1, :1]
-                    prefix, written = c_text, text_len + nv
-                else:
-                    frame = unpatchify(latents[-1], model.patch_size,
-                                       model.image_base_size)
-                    vtok = apply(model.embed_video_frame, frame)
-                    tokens = guidance.expand(vtok, padding=bos_value)
-                    prefix, written = None, nv
+                frame = unpatchify(latent_prev, model.patch_size,
+                                   model.image_base_size)
+                vtok = apply(model.embed_video_frame, frame)
+                tokens = guidance.expand(vtok, padding=bos_value)
                 tokens = apply(model.frame_tokens, tokens, t_idx, T)
-                states, caches = apply(model.encode_frame, tokens, prefix,
+                states, caches = apply(model.encode_frame, tokens, None,
                                        caches, cache_index, t_idx)
-                cache_index += written
                 cond = states
                 if model.video_mixer_rank is not None:
-                    if t_idx == 0:
-                        states_star = states
-                    else:
-                        cond = apply(model.mix_states, states_star, states)
-                if t_idx == 0 and prefill:
-                    latents.append(latents0)
-                else:
-                    latents.append(generate_frame(cond, k_frame))
-            return jnp.stack(latents, axis=1)  # (B, T, Ni, pd)
+                    cond = apply(model.mix_states, states_star, states)
+                latent = generate_frame(cond, k_frame)
+                return (caches, cache_index + nv, latent, key), latent
+
+            carry0 = (caches, jnp.int32(text_len + nv), latent0, key)
+            _, rest = jax.lax.scan(frame_body, carry0, jnp.arange(1, T))
+            rest = jnp.moveaxis(rest, 0, 1)  # (B, T-1, Ni, pd)
+            return jnp.concatenate([latent0[:, None], rest], axis=1)
 
         return jax.jit(sample)
 
