@@ -62,8 +62,12 @@ def main():
     ap.add_argument("--ar-steps", type=int, default=64)
     ap.add_argument("--points", type=int, default=2048)
     ap.add_argument("--repeats", type=int, default=5)
-    ap.add_argument("--quantize", action="store_true",
-                    help="int8 MLP serving path (reported as a variant)")
+    ap.add_argument("--quantize", dest="quantize", action="store_true",
+                    default=True,
+                    help="int8 fused-kernel serving path (default; the "
+                         "flagship serving config)")
+    ap.add_argument("--no-quantize", dest="quantize", action="store_false",
+                    help="bf16 variant")
     args = ap.parse_args()
     if args.mode == "t2i":
         return bench_t2i(args)
@@ -135,7 +139,9 @@ def main():
           f"p50/sample={p50_latency_ms:.2f}ms", file=sys.stderr)
     print(json.dumps({
         "metric": "t2pc_2048pt_0.6B_samples_per_sec_per_chip"
-                  + ("_int8" if args.quantize else ""),
+                  + ("" if args.quantize else "_bf16"),
+        "serving_dtype": "w8a8-int8 fused pallas MLP" if args.quantize
+                         else "bf16",
         "value": round(samples_per_sec, 3),
         "unit": "samples/sec/chip",
         "vs_baseline": round(samples_per_sec / H100_EST_SAMPLES_PER_SEC, 3),

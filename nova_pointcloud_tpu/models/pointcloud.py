@@ -106,8 +106,15 @@ class PreLNBlock(nn.Module):
     """norm_first TransformerEncoderLayer equivalent (`:590-598`).
 
     ``quantize`` switches the MLP matmuls (2/3 of block FLOPs) to the int8
-    serving path (ops/quantization); parameter trees stay identical, so bf16
-    checkpoints serve quantized with no conversion step.
+    serving path; on TPU at inference the whole MLP sub-block runs as ONE
+    fused Pallas kernel (ops/pallas/fused_block.fused_ln_int8_mlp: LN ->
+    dynamic int8 quant -> matmul -> relu -> quant -> matmul -> residual,
+    no intermediate HBM round trips). Parameter trees stay identical across
+    all paths, so bf16 checkpoints serve quantized with no conversion step.
+
+    Attention routes through ops/attention.make_flax_attention_fn: XLA SDPA
+    at short sequences, the Pallas flash kernel at >=1024 keys on TPU
+    (replaces the reference's torch SDPA at `vision_transformer.py:63`).
     """
 
     dim: int
@@ -115,31 +122,58 @@ class PreLNBlock(nn.Module):
     mlp_ratio: float = 4.0
     dropout: float = 0.1
     quantize: bool = False
+    attn_impl: str = "auto"
     dtype: Any = None
 
-    @nn.compact
-    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+    def setup(self):
+        from nova_pointcloud_tpu.ops.attention import make_flax_attention_fn
         from nova_pointcloud_tpu.ops.quantization import Int8Dense
 
-        if self.quantize:
-            dense = lambda f, name: Int8Dense(  # noqa: E731
-                f, dtype=self.dtype or jnp.bfloat16, name=name)
-        else:
-            dense = lambda f, name: nn.Dense(f, dtype=self.dtype, name=name)  # noqa: E731
-        h = nn.LayerNorm(name="norm1")(x)
-        h = nn.MultiHeadDotProductAttention(
+        hidden = int(self.dim * self.mlp_ratio)
+        self.norm1 = nn.LayerNorm()
+        self.attn = nn.MultiHeadDotProductAttention(
             self.num_heads, dropout_rate=self.dropout, dtype=self.dtype,
-            deterministic=deterministic, name="attn")(h, h)
-        x = x + nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = nn.LayerNorm(name="norm2")(x)
-        h = dense(int(self.dim * self.mlp_ratio), "fc1")(h)
+            attention_fn=make_flax_attention_fn(self.attn_impl))
+        self.norm2 = nn.LayerNorm()
+        if self.quantize:
+            dt = self.dtype or jnp.bfloat16
+            self.fc1 = Int8Dense(hidden, dtype=dt)
+            self.fc2 = Int8Dense(self.dim, dtype=dt)
+        else:
+            self.fc1 = nn.Dense(hidden, dtype=self.dtype)
+            self.fc2 = nn.Dense(self.dim, dtype=self.dtype)
+        self.drop = nn.Dropout(self.dropout)
+
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        h = self.norm1(x)
+        h = self.attn(h, h, deterministic=deterministic)
+        x = x + self.drop(h, deterministic=deterministic)
+
+        use_fused = (self.quantize and deterministic
+                     and not self.is_initializing()
+                     and jax.default_backend() == "tpu")
+        if use_fused:
+            from nova_pointcloud_tpu.ops.pallas.fused_block import (
+                fused_ln_int8_mlp)
+            from nova_pointcloud_tpu.ops.quantization import quantize_weight
+
+            lnp = self.norm2.variables["params"]
+            p1 = self.fc1.variables["params"]
+            p2 = self.fc2.variables["params"]
+            q1 = quantize_weight(p1["kernel"])
+            q2 = quantize_weight(p2["kernel"])
+            return fused_ln_int8_mlp(x, lnp["scale"], lnp["bias"],
+                                     q1.values, q1.scales, p1["bias"],
+                                     q2.values, q2.scales, p2["bias"])
+
+        h = self.norm2(x)
         # relu, not gelu: the reference's nn.TransformerEncoderLayer
         # (`transformer_pointcloud_nova.py:590-598`) leaves activation at the
         # torch default (relu). Also ~30ms/pass cheaper than exact gelu at
         # flagship shapes (erf is transcendental-heavy on the VPU).
-        h = nn.Dropout(self.dropout, deterministic=deterministic)(nn.relu(h))
-        h = dense(self.dim, "fc2")(h)
-        return x + nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        h = self.drop(nn.relu(self.fc1(h)), deterministic=deterministic)
+        h = self.fc2(h)
+        return x + self.drop(h, deterministic=deterministic)
 
 
 class _ScanBlockBody(nn.Module):
@@ -151,6 +185,7 @@ class _ScanBlockBody(nn.Module):
     deterministic: bool
     remat: bool = False
     quantize: bool = False
+    attn_impl: str = "auto"
     dtype: Any = None
 
     @nn.compact
@@ -158,7 +193,8 @@ class _ScanBlockBody(nn.Module):
         cls = nn.remat(PreLNBlock, static_argnums=(2,)) if self.remat \
             else PreLNBlock
         out = cls(self.dim, self.num_heads, dropout=self.dropout,
-                  quantize=self.quantize, dtype=self.dtype,
+                  quantize=self.quantize, attn_impl=self.attn_impl,
+                  dtype=self.dtype,
                   name="block")(carry, self.deterministic)
         return out, None
 
@@ -178,6 +214,7 @@ class BlockStack(nn.Module):
     dropout: float = 0.1
     remat: bool = False
     quantize: bool = False
+    attn_impl: str = "auto"
     dtype: Any = None
 
     @nn.compact
@@ -189,7 +226,7 @@ class BlockStack(nn.Module):
             length=self.depth,
             metadata_params={nn.meta.PARTITION_NAME: None},
         )(self.dim, self.num_heads, self.dropout, deterministic, self.remat,
-          self.quantize, self.dtype, name="layers")
+          self.quantize, self.attn_impl, self.dtype, name="layers")
         h, _ = body(h, None)
         return h
 
@@ -205,7 +242,8 @@ class NOVAPointCloudTransformer(nn.Module):
     use_depth_pe: bool = False
     dropout: float = 0.1
     remat: bool = False
-    quantize: bool = False  # int8 MLP serving path
+    quantize: bool = False  # int8 MLP serving path (fused Pallas on TPU)
+    attn_impl: str = "auto"  # ops/attention dispatcher policy
     dtype: Any = None
 
     @property
@@ -250,7 +288,8 @@ class NOVAPointCloudTransformer(nn.Module):
 
         h = BlockStack(depth, dim, heads, dropout=self.dropout,
                        remat=self.remat, quantize=self.quantize,
-                       dtype=self.dtype, name="blocks")(h, deterministic)
+                       attn_impl=self.attn_impl, dtype=self.dtype,
+                       name="blocks")(h, deterministic)
 
         out = nn.Dense(p * 3, dtype=self.dtype, name="output_proj",
                        kernel_init=nn.initializers.xavier_uniform())(h)

@@ -47,6 +47,8 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array,
 def _use_pallas(q: jax.Array, k: jax.Array, bias, impl: str) -> bool:
     if impl == "pallas":
         return True
+    if impl in ("sdpa", "xla"):
+        return False
     if jax.default_backend() != "tpu":
         return False
     if k.shape[-2] < 1024:  # short sequences: XLA's fused attention is fine
@@ -56,6 +58,45 @@ def _use_pallas(q: jax.Array, k: jax.Array, bias, impl: str) -> bool:
     # kernel supports key bias (.., 1, 1, Lk) and shared full bias (1,1,Lq,Lk)
     return bias.ndim == 4 and bias.shape[1] == 1 and (
         bias.shape[2] == 1 or bias.shape[0] == 1)
+
+
+def make_flax_attention_fn(impl: str = "auto"):
+    """``attention_fn`` for ``nn.MultiHeadDotProductAttention`` that routes
+    through this module's dispatcher: XLA SDPA at short sequences /
+    with attention dropout, the Pallas flash kernel at >=1024 keys on TPU.
+
+    Lets flax-parameterized models (identical checkpoints) pick up the fused
+    kernel without touching their parameter trees. Replaces the reference's
+    hardwired torch SDPA (`vision_transformer.py:63`).
+    """
+
+    def attention_fn(query, key, value, bias=None, mask=None,
+                     broadcast_dropout=True, dropout_rng=None,
+                     dropout_rate=0.0, deterministic=False, dtype=None,
+                     precision=None, **kwargs):
+        import flax.linen as nn
+
+        q = jnp.moveaxis(query, -2, -3)  # (B, L, H, D) -> (B, H, L, D)
+        k = jnp.moveaxis(key, -2, -3)
+        b = bias
+        if mask is not None:
+            mb = jnp.where(mask, 0.0, -jnp.inf)
+            b = mb if b is None else b + mb
+        has_dropout = (not deterministic) and dropout_rate > 0.0
+        if has_dropout or not _use_pallas(q, k, b, impl):
+            return nn.dot_product_attention(
+                query, key, value, bias=bias, mask=mask,
+                broadcast_dropout=broadcast_dropout, dropout_rng=dropout_rng,
+                dropout_rate=dropout_rate, deterministic=deterministic,
+                dtype=dtype, precision=precision)
+        from nova_pointcloud_tpu.ops.pallas.flash_attention import (
+            flash_attention)
+
+        v = jnp.moveaxis(value, -2, -3)
+        out = flash_attention(q, k, v, bias=b)
+        return jnp.moveaxis(out, -3, -2)
+
+    return attention_fn
 
 
 class KVCache(NamedTuple):
