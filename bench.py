@@ -56,7 +56,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dry-run", action="store_true",
                     help="tiny model / 2 steps, CI smoke")
-    ap.add_argument("--mode", choices=("t2pc", "t2i"), default="t2pc")
+    ap.add_argument("--mode", choices=("t2pc", "t2i", "t2v"), default="t2pc")
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--steps", type=int, default=25)
     ap.add_argument("--ar-steps", type=int, default=64)
@@ -71,6 +71,8 @@ def main():
     args = ap.parse_args()
     if args.mode == "t2i":
         return bench_t2i(args)
+    if args.mode == "t2v":
+        return bench_t2v(args)
 
     from nova_pointcloud_tpu.models.pointcloud import NOVAPointCloudTransformer
     from nova_pointcloud_tpu.models.text_encoders.dummy import DummyTextEncoder
@@ -214,6 +216,74 @@ def bench_t2i(args):
         "vs_baseline": None, "p50_latency_ms_per_sample": round(p50 / batch * 1000, 1),
         "batch": batch, "ar_steps": args.ar_steps, "diffusion_steps": args.steps,
         "params_m": round(n_params / 1e6, 1), "backend": jax.default_backend(),
+    }))
+
+
+def bench_t2v(args):
+    """Full-scale video: NOVA d48w1024-osp480 (33x768x480 -> 9 latent frames
+    of 15x24 video / 30x48 image patches, RoPE + AdaLN mixer, CFG x2),
+    reference shapes from `configs/nova_d48w1024_osp480.yaml`. One chip;
+    reports videos/sec + per-frame latency."""
+    from nova_pointcloud_tpu.models.nova import NOVATransformer
+    from nova_pointcloud_tpu.models.text_encoders.dummy import DummyTextEncoder
+    from nova_pointcloud_tpu.pipelines.nova import NOVAPipeline
+    from nova_pointcloud_tpu.schedulers import FlowMatchEulerScheduler
+
+    on_tpu = jax.default_backend() == "tpu"
+    batch = 1 if args.batch == 64 else args.batch
+    frames = 9
+    scheduler = FlowMatchEulerScheduler()
+    model = NOVATransformer(
+        arch=("vit_d16w1024", "vit_d32w1024", "mlp_d6w1024"),
+        image_dim=4, image_base_size=(30, 48), video_base_size=(9, 15, 24),
+        patch_size=2, text_token_dim=2560, text_token_len=256,
+        rotary_pos_embed=True, video_mixer_rank=24,
+        noise_scheduler=scheduler,
+        dtype=jnp.bfloat16 if on_tpu else None)
+    from nova_pointcloud_tpu.pipelines.builder import init_transformer
+
+    params = init_transformer(model, seed=0, batch=1)
+    if on_tpu:
+        params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    pipe = NOVAPipeline(model, params, scheduler,
+                        text_encoder=DummyTextEncoder(2560, 256))
+    prompts = [f"a drone shot {i}" for i in range(batch)]
+    print(f"# t2v d48w1024-osp480 params={n_params/1e6:.1f}M batch={batch} "
+          f"frames={frames} ar={args.ar_steps} diff={args.steps}",
+          file=sys.stderr)
+
+    checksum = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
+
+    def run(key):
+        out = pipe(prompts, num_inference_steps=args.ar_steps,
+                   num_diffusion_steps=args.steps, guidance_scale=5.0,
+                   max_latent_length=frames, flow_shift=5.0,
+                   key=key, output_type="latent")
+        np.asarray(checksum(out.latents))
+        return out
+
+    t0 = time.perf_counter()
+    run(jax.random.PRNGKey(0))
+    compile_s = time.perf_counter() - t0
+    times = []
+    for i in range(max(args.repeats, 2)):
+        t0 = time.perf_counter()
+        run(jax.random.PRNGKey(i + 1))
+        times.append(time.perf_counter() - t0)
+    p50 = float(np.percentile(times, 50))
+    print(f"# compile={compile_s:.1f}s p50_video={p50:.1f}s", file=sys.stderr)
+    print(json.dumps({
+        "metric": "t2v_osp480_0.6B_videos_per_sec_per_chip",
+        "value": round(batch / p50, 4), "unit": "videos/sec/chip",
+        "vs_baseline": None,
+        "p50_latency_s_per_video": round(p50 / batch, 2),
+        "p50_latency_ms_per_frame": round(p50 / batch / frames * 1000, 1),
+        "compile_s": round(compile_s, 1),
+        "batch": batch, "frames": frames, "ar_steps": args.ar_steps,
+        "diffusion_steps": args.steps,
+        "params_m": round(n_params / 1e6, 1),
+        "backend": jax.default_backend(),
     }))
 
 

@@ -207,16 +207,20 @@ class LTXDecoder(nn.Module):
         for j in range(self.block_depths[-1]):
             h = LTXResBlock(dims[0], causal=False, dtype=self.dtype,
                             name=f"mid_res_{j}")(h, mid_temb)
-        for i, dim in enumerate(dims):
+        # the reference builds len(dims)-1 up blocks (`:227-229` zips the
+        # reversed dims against block_depths[:-1]; mid consumes depths[-1]),
+        # ending at dims[-1] channels: 2^3 temporal / 2^3*patch spatial, the
+        # exact inverse of the encoder
+        for i, (dim, depth) in enumerate(zip(dims, self.block_depths[:-1])):
             out = dim // 2
             h = LTXUpsample(dim, out, dtype=self.dtype,
                             name=f"up_{i}_resize")(h)
             up_temb = TimeEmbed(out * 4, name=f"up_{i}_time_embed")(freq)
-            for j in range(self.block_depths[i]):
+            for j in range(depth):
                 h = LTXResBlock(out, causal=False, dtype=self.dtype,
                                 name=f"up_{i}_res_{j}")(h, up_temb)
         h = rms_norm(h)
-        last = dims[-1] // 2
+        last = dims[-1]
         table = self.param("scale_shift_table", nn.initializers.normal(1.0),
                            (2, last))
         final_temb = TimeEmbed(last * 2, name="time_embed")(freq)

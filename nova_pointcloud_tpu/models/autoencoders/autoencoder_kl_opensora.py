@@ -97,7 +97,13 @@ class ResBlock(nn.Module):
 
 
 class FrameAttention(nn.Module):
-    """Per-frame spatial attention (frame windows, `:55-67`)."""
+    """Per-frame spatial attention (frame windows, `:41-66`).
+
+    Explicit to_q/to_k/to_v/to_out projections matching the reference's
+    `Attention` module 1:1 so OpenSoraPlan torch checkpoints load directly
+    (the flax-MHA form used in round 1 had an incompatible split-head
+    parameterization plus an extra out projection).
+    """
 
     dim: int
     num_heads: int = 1
@@ -110,10 +116,22 @@ class FrameAttention(nn.Module):
         if video:
             y, t = fold_time(y)
         b, h, w, c = y.shape
+        hd = c // self.num_heads
         y = y.reshape(b, h * w, c)
-        y = nn.MultiHeadDotProductAttention(self.num_heads, dtype=self.dtype,
-                                            name="attn")(y, y)
-        y = nn.Dense(self.dim, dtype=self.dtype, name="to_out")(y)
+        q = nn.Dense(self.dim, dtype=self.dtype, name="to_q")(y)
+        k = nn.Dense(self.dim, dtype=self.dtype, name="to_k")(y)
+        v = nn.Dense(self.dim, dtype=self.dtype, name="to_v")(y)
+        if self.num_heads > 1:
+            q = q.reshape(b, h * w, self.num_heads, hd)
+            k = k.reshape(b, h * w, self.num_heads, hd)
+            v = v.reshape(b, h * w, self.num_heads, hd)
+            o = nn.dot_product_attention(q, k, v, dtype=self.dtype)
+            o = o.reshape(b, h * w, c)
+        else:
+            logits = jnp.einsum("bqd,bkd->bqk", q, k) * (c ** -0.5)
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            o = jnp.einsum("bqk,bkd->bqd", probs.astype(v.dtype), v)
+        y = nn.Dense(self.dim, dtype=self.dtype, name="to_out")(o)
         y = y.reshape(b, h, w, c)
         return unfold_time(y, t) if video else y
 
@@ -260,11 +278,11 @@ class Decoder(nn.Module):
                 h = ResBlock(dim, stage_3d, self.dtype, name=f"up_{i}_res_{j}")(h)
             if i < len(dims) - 1:
                 if stage_3d:
-                    # last 3D transition upsamples spatially only ((1,3,3)
-                    # kernel stage, `:186`)
-                    next_3d = _is3d(types[i + 1])
-                    mode = "3d_trilinear" if (i < len(dims) - 2 and next_3d) \
-                        else ("3d_spatial" if next_3d else "3d_trilinear")
+                    # the reference gives the upsampler a (1,3,3) kernel (=>
+                    # spatial-only repeat upsample) at the last two positions
+                    # (`:188` kernel_size = 3 if i < len-2 else (1,3,3);
+                    # Resize `:76-79` maps kt==1 to spatial mode)
+                    mode = "3d_trilinear" if i < len(dims) - 2 else "3d_spatial"
                     h = Upsample(dim, mode, self.dtype, name=f"up_{i}_resize")(h)
                 else:
                     h = Upsample(dim, "2d", self.dtype, name=f"up_{i}_resize")(h)

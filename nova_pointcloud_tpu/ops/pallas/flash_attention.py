@@ -33,7 +33,7 @@ NEG_INF = -1e30
 # forward kernel
 # ---------------------------------------------------------------------------
 def _fwd_kernel(q_ref, k_ref, v_ref, kbias_ref, fbias_ref, o_ref, lse_ref,
-                *, blk_k: int, sm_scale: float, num_k: int):
+                *, blk_q: int, blk_k: int, sm_scale: float, num_k: int):
     q = q_ref[0].astype(jnp.float32) * sm_scale  # (blk_q, d)
     blk_q, d = q.shape
 
@@ -66,7 +66,11 @@ def _fwd_kernel(q_ref, k_ref, v_ref, kbias_ref, fbias_ref, o_ref, lse_ref,
     # lse = m + log(l); fully-masked rows get +inf-like so bwd exp() -> 0
     lse = jnp.where(masked, -NEG_INF, m + jnp.log(jnp.where(masked, 1.0, l)))
     o_ref[0] = o.astype(o_ref.dtype)
-    lse_ref[0] = lse[:, 0]
+    # lse rides a (1, 1, Lq) full-row block (Mosaic requires the last two
+    # block dims divisible by (8, 128) or equal to the array dims); each
+    # q-block grid step writes its slice
+    j = pl.program_id(1)
+    lse_ref[0, 0, pl.ds(j * blk_q, blk_q)] = lse[:, 0]
 
 
 # ---------------------------------------------------------------------------
@@ -84,8 +88,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, kbias_ref, fbias_ref, do_ref,
         dk_acc, dv_acc = carry
         q = q_ref[0, pl.ds(i * blk_q, blk_q), :].astype(jnp.float32)
         do = do_ref[0, pl.ds(i * blk_q, blk_q), :].astype(jnp.float32)
-        lse = lse_ref[0, pl.ds(i * blk_q, blk_q)][:, None]
-        delta = delta_ref[0, pl.ds(i * blk_q, blk_q)][:, None]
+        lse = lse_ref[0, 0, pl.ds(i * blk_q, blk_q)][:, None]
+        delta = delta_ref[0, 0, pl.ds(i * blk_q, blk_q)][:, None]
         s = jax.lax.dot_general(q * sm_scale, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         if kb is not None:
@@ -116,9 +120,10 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, kbias_ref, fbias_ref, do_ref,
                    *, blk_k: int, sm_scale: float, num_k: int):
     q = q_ref[0].astype(jnp.float32)  # (blk_q, d)
     do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0][:, None]
-    delta = delta_ref[0][:, None]
     blk_q, d = q.shape
+    j = pl.program_id(1)
+    lse = lse_ref[0, 0, pl.ds(j * blk_q, blk_q)][:, None]
+    delta = delta_ref[0, 0, pl.ds(j * blk_q, blk_q)][:, None]
 
     def body(i, dq_acc):
         k = k_ref[0, pl.ds(i * blk_k, blk_k), :].astype(jnp.float32)
@@ -210,19 +215,19 @@ def _flash_fwd_impl(qf, kf, vf, key_bias, full_bias, blk_q, blk_k):
             fbias_ref = refs[pos]
             pos += 1
         _fwd_kernel(refs[0], refs[1], refs[2], kbias_ref, fbias_ref,
-                    refs[-2], refs[-1], blk_k=blk_k, sm_scale=d**-0.5,
-                    num_k=num_k)
+                    refs[-2], refs[-1], blk_q=blk_q, blk_k=blk_k,
+                    sm_scale=d**-0.5, num_k=num_k)
 
     out, lse = pl.pallas_call(
         kernel,
         out_shape=[jax.ShapeDtypeStruct((bh, lq, d), qf.dtype),
-                   jax.ShapeDtypeStruct((bh, lq), jnp.float32)],
+                   jax.ShapeDtypeStruct((bh, 1, lq), jnp.float32)],
         grid_spec=pl.GridSpec(
             grid=(bh, lq // blk_q),
             in_specs=in_specs,
             out_specs=[pl.BlockSpec((1, blk_q, d), lambda i, j: (i, j, 0),
                                     memory_space=pltpu.VMEM),
-                       pl.BlockSpec((1, blk_q), lambda i, j: (i, j),
+                       pl.BlockSpec((1, 1, lq), lambda i, j: (i, 0, 0),
                                     memory_space=pltpu.VMEM)],
         ),
         cost_estimate=pl.CostEstimate(
@@ -247,7 +252,7 @@ def _flash_bwd(blk_q, blk_k, res, dout):
     h = bh // key_bias.shape[0] if key_bias is not None else 1
     sm_scale = d**-0.5
     delta = jnp.sum(dout.astype(jnp.float32) * out.astype(jnp.float32),
-                    axis=-1)  # (bh, lq)
+                    axis=-1)[:, None, :]  # (bh, 1, lq)
 
     qkv_specs_full = [  # whole-length q/do/lse/delta per instance (dkv pass)
         pl.BlockSpec((1, lq, d), lambda i, j: (i, 0, 0),
@@ -262,9 +267,9 @@ def _flash_bwd(blk_q, blk_k, res, dout):
     tail_specs = [
         pl.BlockSpec((1, lq, d), lambda i, j: (i, 0, 0),
                      memory_space=pltpu.VMEM),  # do
-        pl.BlockSpec((1, lq), lambda i, j: (i, 0),
+        pl.BlockSpec((1, 1, lq), lambda i, j: (i, 0, 0),
                      memory_space=pltpu.VMEM),  # lse
-        pl.BlockSpec((1, lq), lambda i, j: (i, 0),
+        pl.BlockSpec((1, 1, lq), lambda i, j: (i, 0, 0),
                      memory_space=pltpu.VMEM),  # delta
     ]
 
@@ -312,9 +317,9 @@ def _flash_bwd(blk_q, blk_k, res, dout):
     tail_specs_q = [
         pl.BlockSpec((1, blk_q, d), lambda i, j: (i, j, 0),
                      memory_space=pltpu.VMEM),  # do
-        pl.BlockSpec((1, blk_q), lambda i, j: (i, j),
+        pl.BlockSpec((1, 1, lq), lambda i, j: (i, 0, 0),
                      memory_space=pltpu.VMEM),  # lse
-        pl.BlockSpec((1, blk_q), lambda i, j: (i, j),
+        pl.BlockSpec((1, 1, lq), lambda i, j: (i, 0, 0),
                      memory_space=pltpu.VMEM),  # delta
     ]
 

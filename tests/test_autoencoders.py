@@ -73,25 +73,31 @@ class TestAutoencoderKL:
 
 class TestOpenSoraVAE:
     def _vae(self):
+        # OSP-shaped 4-block config: 2 temporal downsamples (downsampler type
+        # follows the NEXT block, `autoencoder_kl_opensora.py:158-160`) and,
+        # on decode, 2 trilinear + 1 spatial-only upsample (`:188` kernel
+        # rule) — 4x time / 8x space, symmetric like the real checkpoint.
         return AutoencoderKLOpenSora(
-            down_block_types=("DownEncoderBlock2D", "DownEncoderBlock3D"),
-            up_block_types=("UpDecoderBlock2D", "UpDecoderBlock3D"),
-            block_out_channels=(32, 64), latent_channels=4,
-            layers_per_block=1, sample_min_t=17, latent_min_t=9)
+            down_block_types=("DownEncoderBlock2D", "DownEncoderBlock2D",
+                              "DownEncoderBlock3D", "DownEncoderBlock3D"),
+            up_block_types=("UpDecoderBlock2D", "UpDecoderBlock2D",
+                            "UpDecoderBlock3D", "UpDecoderBlock3D"),
+            block_out_channels=(32, 32, 64, 64), latent_channels=4,
+            layers_per_block=1, sample_min_t=17, latent_min_t=5)
 
     def test_video_roundtrip(self):
         vae = self._vae()
-        x = jax.random.normal(jax.random.PRNGKey(0), (1, 5, 16, 16, 3))
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 5, 32, 32, 3))
         params = jax.jit(vae.init)(jax.random.PRNGKey(1), x)["params"]
         enc = jax.jit(lambda p, x: vae.apply({"params": p}, x,
                                              method=vae.encode).mean)
         z = enc(params, x)
-        # one 3D downsample: T 5->3 (ceil), HW 16->8
-        assert z.shape == (1, 3, 8, 8, 4)
+        # two 3D downsamples: T 5->3->2 (causal ceil), HW 32->4
+        assert z.shape == (1, 2, 4, 4, 4)
         dec = jax.jit(lambda p, z: vae.apply({"params": p}, z,
                                              method=vae.decode))
         recon = dec(params, z)
-        assert recon.shape == (1, 5, 16, 16, 3)
+        assert recon.shape == (1, 5, 32, 32, 3)
         assert bool(jnp.all(jnp.isfinite(recon)))
 
     def test_causal_conv(self):
@@ -146,9 +152,9 @@ class TestLTXVAE:
         recon = jax.jit(lambda p, z: vae.apply({"params": p}, z,
                                                method=vae.decode))(
             params, dist.mean)
-        # reference decoder upsamples t,h,w 2x in ALL 4 up blocks (vs 3 in
-        # the encoder) — asymmetric by design (`autoencoder_kl_ltx.py:176`)
-        assert recon.shape == (1, 17, 128, 128, 3)
+        # 3 up blocks (reference zips reversed dims with depths[:-1],
+        # `autoencoder_kl_ltx.py:227-229`): exact inverse of the encoder
+        assert recon.shape == (1, 9, 64, 64, 3)
         assert bool(jnp.all(jnp.isfinite(recon)))
 
 

@@ -42,6 +42,33 @@ def test_cached_decode_matches_block_causal():
                                atol=2e-5, rtol=2e-5)
 
 
+def test_cached_decode_matches_block_causal_t9():
+    """Same equivalence at osp480's frame count (T=9, `nova_d48w1024_osp480`:
+    video_base_size [9, 15, 24]) — the full-scale video configuration."""
+    depth, dim, heads = 2, 32, 2
+    vit = VisionTransformer(depth, dim, heads)
+    b, nf, nv, lc = 1, 9, 6, 4
+    key = jax.random.PRNGKey(3)
+    frames = jax.random.normal(key, (b, nf, nv, dim)) * 0.5
+    c_text = jax.random.normal(jax.random.PRNGKey(4), (b, lc, dim)) * 0.5
+    params = jax.jit(vit.init)(jax.random.PRNGKey(5),
+                               frames.reshape(b, nf * nv, dim))["params"]
+    bias = masking.block_causal_bias((nv,) * nf, lc)
+    full, _ = vit.apply({"params": params}, frames.reshape(b, nf * nv, dim),
+                        c=c_text, bias=bias)
+
+    caches = vit.init_caches(b, lc + nf * nv, dtype=jnp.float32)
+    outs, index = [], 0
+    for t in range(nf):
+        prefix = c_text if t == 0 else None
+        out, caches = vit.apply({"params": params}, frames[:, t], c=prefix,
+                                caches=caches, cache_index=jnp.int32(index))
+        index += (lc if t == 0 else 0) + nv
+        outs.append(out)
+    np.testing.assert_allclose(np.asarray(jnp.concatenate(outs, 1)),
+                               np.asarray(full), atol=2e-5, rtol=2e-5)
+
+
 def test_cache_isolation_between_sequences():
     """Separate cache objects must not leak state across generations."""
     vit = VisionTransformer(2, 64, 4)

@@ -145,6 +145,21 @@ class TestGeneration:
         assert out.latents.shape == (1, 3, h, w, 4)
         assert bool(jnp.all(jnp.isfinite(out.latents)))
 
+    def test_t2v_nine_frames_rotary_mixer(self):
+        """osp480's frame count (T=9) through the frame-scanned sampler with
+        RoPE + AdaLN mixer — exercises traced frame indices in frame_tokens /
+        encode_frame / mix_states under lax.scan."""
+        scheduler = FlowMatchEulerScheduler()
+        model, params = make_model(rotary=True, frames=9, scheduler=scheduler)
+        pipe = NOVAPipeline(model, params, scheduler,
+                            text_encoder=DummyTextEncoder(32, 8))
+        out = pipe(["a moving chair"], num_inference_steps=3,
+                   num_diffusion_steps=2, max_latent_length=9,
+                   guidance_scale=2.0, key=jax.random.PRNGKey(0))
+        h, w = model.latent_hw
+        assert out.latents.shape == (1, 9, h, w, 4)
+        assert bool(jnp.all(jnp.isfinite(out.latents)))
+
     def test_deterministic_given_key(self):
         scheduler = FlowMatchEulerScheduler()
         model, params = make_model(scheduler=scheduler)
