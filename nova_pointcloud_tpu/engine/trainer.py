@@ -122,6 +122,11 @@ class Trainer:
         with ctx:
             while self.step < max_steps:
                 batch = next(data)
+                # drop host-only fields (e.g. raw caption strings from the
+                # records loader) — conditioning uses precomputed embeds; a
+                # string can't be traced into the jitted step
+                batch = {k: v for k, v in batch.items()
+                         if not isinstance(v, (str, list))}
                 self.key, step_key = jax.random.split(self.key)
                 with timer.tic_and_toc():
                     self.params, self.opt_state, metrics = self._step_fn(

@@ -240,20 +240,25 @@ class NOVATransformer(nn.Module):
 
     # -- MAM: masked AR within a frame ---------------------------------------
     def encode_image_step(self, tokens: jax.Array, mask: jax.Array,
-                          cond: jax.Array) -> jax.Array:
+                          cond: jax.Array,
+                          visible_bucket: Optional[int] = None) -> jax.Array:
         """Masked-token image encoding for one AR step / training pass.
 
         tokens: (B, Ni, D) patch embeddings (NO pos yet); mask (B, Ni, 1) with
         1 = masked; cond (B, Lc, D) video/text states. Mask token substitution
         happens BEFORE pos add, matching `transformer_3d.py:125` +
-        `vision_transformer.py:131`.
+        `vision_transformer.py:131`. ``visible_bucket``: static upper bound on
+        the visible count — the encoder half then gathers visible tokens like
+        the reference (`vision_transformer.py:133-143`) instead of masking the
+        full sequence.
         """
         z = self.mask_tokens.apply_mask(tokens, mask)
         if not self.rotary_pos_embed:
             z = self.image_pos_embed(z)
         visible = 1.0 - mask[..., 0]
         rope = self.image_rope(pad=cond.shape[1]) if cond is not None else self.image_rope()
-        z, _ = self.image_encoder(z, c=cond, visible=visible, rope=rope)
+        z, _ = self.image_encoder(z, c=cond, visible=visible, rope=rope,
+                                  visible_bucket=visible_bucket)
         return z
 
     def image_tokens(self, x: jax.Array) -> jax.Array:
@@ -347,11 +352,16 @@ class NOVATransformer(nn.Module):
                 _ = self.video_patch_embed(x[:, :1])
         states = self.encode_video(c_vid, c_text, t)  # (B, T*Nv, D)
 
-        # MAM: mask and encode every frame against its own states
+        # MAM: mask and encode every frame against its own states. Train mask
+        # ratios are >= 0.7 (`embeddings.py:280`), so the visible count is
+        # bounded by round(0.3*Ni): a static gather bucket recovers the
+        # reference's visible-only encoder-half compute.
         z_tok = self.image_patch_embed(x).reshape(b * t, ni, -1)
         mask, _ = masking.sample_train_mask(self.make_rng("mask"), b * t, ni)
         cond = states.reshape(b * t, nv, -1)
-        z = self.encode_image_step(z_tok, mask, cond)  # (B*T, Ni, D)
+        bucket = int(round((1.0 - masking.TRAIN_MASK_RATIO_MIN) * ni))
+        z = self.encode_image_step(z_tok, mask, cond,
+                                   visible_bucket=max(bucket, 1))  # (B*T, Ni, D)
 
         # 1D token-wise diffusion with loss_repeat (`transformer_3d.py:79-100`)
         rep = self.loss_repeat

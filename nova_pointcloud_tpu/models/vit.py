@@ -156,30 +156,75 @@ class VisionTransformer(nn.Module):
         bias: Optional[jax.Array] = None,  # additive attn bias (block-causal)
         caches: Optional[Tuple[KVCache, KVCache]] = None,  # (enc, dec) stacked
         cache_index: Optional[jax.Array] = None,
+        visible_bucket: Optional[int] = None,  # static gather size (see below)
     ) -> Tuple[jax.Array, Optional[Tuple[KVCache, KVCache]]]:
         c_len = 0 if c is None else c.shape[1]
         x_tokens = x
         h = x if c is None else jnp.concatenate([c, x], axis=1)
 
-        enc_bias = bias
         use_split = visible is not None and self.enc_depth > 0
-        if use_split:
-            vis_bias = masking.visibility_bias(visible, prefix_len=c_len,
-                                               dtype=jnp.float32)
-            enc_bias = vis_bias if bias is None else bias + vis_bias
+        use_gather = (use_split and visible_bucket is not None
+                      and visible_bucket < x.shape[1]
+                      and bias is None and caches is None)
 
         enc_cache = caches[0] if caches is not None else None
         dec_cache = caches[1] if caches is not None else None
-        h, enc_cache = self._stack("enc_layers", self.enc_depth, h, enc_bias,
-                                   rope, enc_cache, cache_index)
 
-        if use_split:
-            # restore mask-token rows exactly as the scatter at
-            # vision_transformer.py:141-143 (masked rows never entered the
-            # encoder half there; here they computed garbage we now discard)
-            vis = visible[..., None].astype(h.dtype)
-            tail = h[:, c_len:] * vis + x_tokens.astype(h.dtype) * (1.0 - vis)
-            h = tail if c is None else jnp.concatenate([h[:, :c_len], tail], axis=1)
+        if use_gather:
+            # bucketed visible-token gather: the reference's encoder half only
+            # processes visible tokens (`vision_transformer.py:133-143`); the
+            # masking-only path below spends full-sequence FLOPs on rows it
+            # then discards. Here visible tokens are physically gathered into
+            # a STATIC-size bucket (callers bound the visible count: train
+            # mask ratios >= 0.7 => <= 0.3N visible), padded lanes are biased
+            # out of the keys, and outputs scatter back — numerically equal
+            # to the masking path, ~(N/bucket)x fewer encoder-half FLOPs.
+            k = visible_bucket
+            b, n = visible.shape
+            order = jnp.argsort(1.0 - visible, axis=1, stable=True)
+            ids = order[:, :k].astype(jnp.int32)
+            nvis = jnp.sum(visible, axis=1).astype(jnp.int32)
+            valid = (jnp.arange(k)[None] < nvis[:, None]).astype(jnp.float32)
+            xg = jnp.take_along_axis(x_tokens, ids[..., None], axis=1)
+            hg = xg if c is None else jnp.concatenate([c, xg], axis=1)
+            g_bias = masking.visibility_bias(valid, prefix_len=c_len,
+                                             dtype=jnp.float32)
+            rope_g = None
+            if rope is not None:
+                from nova_pointcloud_tpu.models.embeddings import gather_rope
+
+                cos, sin = rope
+                if cos.shape[0] == 1 and b > 1:
+                    cos = jnp.broadcast_to(cos, (b,) + cos.shape[1:])
+                    sin = jnp.broadcast_to(sin, (b,) + sin.shape[1:])
+                rope_g = gather_rope(cos[:, :, c_len:], sin[:, :, c_len:],
+                                     ids, pad=c_len)
+            h_enc, _ = self._stack("enc_layers", self.enc_depth, hg, g_bias,
+                                   rope_g, None, cache_index)
+            upd = h_enc[:, c_len:] * valid[..., None].astype(h_enc.dtype)
+            onehot = jax.nn.one_hot(ids, n, dtype=h_enc.dtype)
+            onehot = onehot * valid[..., None].astype(h_enc.dtype)  # (B,K,N)
+            scattered = jnp.einsum("bkn,bkd->bnd", onehot, upd)
+            covered = jnp.max(onehot, axis=1)[..., None]  # == visible
+            tail = scattered + x_tokens.astype(h_enc.dtype) * (1.0 - covered)
+            h = tail if c is None else jnp.concatenate(
+                [h_enc[:, :c_len], tail], axis=1)
+        else:
+            enc_bias = bias
+            if use_split:
+                vis_bias = masking.visibility_bias(visible, prefix_len=c_len,
+                                                   dtype=jnp.float32)
+                enc_bias = vis_bias if bias is None else bias + vis_bias
+            h, enc_cache = self._stack("enc_layers", self.enc_depth, h,
+                                       enc_bias, rope, enc_cache, cache_index)
+            if use_split:
+                # restore mask-token rows exactly as the scatter at
+                # vision_transformer.py:141-143 (masked rows never entered the
+                # encoder half there; here they computed garbage we discard)
+                vis = visible[..., None].astype(h.dtype)
+                tail = h[:, c_len:] * vis + x_tokens.astype(h.dtype) * (1.0 - vis)
+                h = tail if c is None else jnp.concatenate(
+                    [h[:, :c_len], tail], axis=1)
 
         h, dec_cache = self._stack("dec_layers", self.depth - self.enc_depth,
                                    h, bias, rope, dec_cache, cache_index)

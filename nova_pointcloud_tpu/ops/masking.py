@@ -49,8 +49,14 @@ def truncated_normal(key: jax.Array, lower: float, upper: float, loc: float = 0.
     return jax.random.truncated_normal(key, a, b, shape) * scale + loc
 
 
+# lower bound of the train mask ratio (`embeddings.py:280` truncnorm(0.7, 1));
+# bounds the visible count for static gather buckets (models/vit.py)
+TRAIN_MASK_RATIO_MIN = 0.7
+
+
 def sample_train_mask(key: jax.Array, batch: int, num_tokens: int,
-                      mask_ratios: Tuple[float, float, float] = (0.7, 1.0, 0.25),
+                      mask_ratios: Tuple[float, float, float] = (
+                          TRAIN_MASK_RATIO_MIN, 1.0, 0.25),
                       ) -> Tuple[jax.Array, jax.Array]:
     """Sample the MAR-style training mask.
 
