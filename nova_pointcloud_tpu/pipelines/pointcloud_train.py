@@ -148,7 +148,11 @@ class NOVATrainPointCloudPipeline:
         """Mean composite-loss metrics over held-out batches
         (`train_newloss.py:1328-1360`)."""
         key = key if key is not None else jax.random.PRNGKey(0)
-        val = jax.jit(self.loss_fn)
+        # cache the jitted fn: a fresh jax.jit per validate() re-traces and
+        # re-compiles through the (slow) remote TPU compiler every round
+        if not hasattr(self, "_val_fn"):
+            self._val_fn = jax.jit(self.loss_fn)
+        val = self._val_fn
         agg: Dict[str, list] = {}
         for batch in batches:
             key, k = jax.random.split(key)

@@ -10,7 +10,11 @@ import os
 
 
 def ensure_cpu_if_forced():
-    if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+    forced = (
+        "xla_force_host_platform_device_count" in os.environ.get("XLA_FLAGS", "")
+        # NOVA_PLATFORM survives the sitecustomize clobber of JAX_PLATFORMS
+        or os.environ.get("NOVA_PLATFORM", "").lower() == "cpu")
+    if not forced:
         return
     os.environ["JAX_PLATFORMS"] = "cpu"
     try:
