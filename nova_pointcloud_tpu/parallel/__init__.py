@@ -6,3 +6,7 @@ from nova_pointcloud_tpu.parallel.sharding import (  # noqa: F401
     param_sharding,
     tp_spec_for_param,
 )
+from nova_pointcloud_tpu.parallel.ring_attention import (  # noqa: F401
+    make_ring_attention,
+    ring_attention,
+)

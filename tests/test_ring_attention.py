@@ -1,0 +1,94 @@
+"""Ring attention (sequence parallel) == dense SDPA on an 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.shard_map import shard_map
+from jax.sharding import PartitionSpec as P
+
+from nova_pointcloud_tpu.ops.attention import sdpa
+from nova_pointcloud_tpu.parallel import create_mesh
+from nova_pointcloud_tpu.parallel.ring_attention import (
+    make_ring_attention,
+    ring_attention,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return create_mesh({"data": 1, "sequence": 8})
+
+
+def _qkv(l=64, d=16, h=2, b=2, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+    return [jax.random.normal(k, (b, h, l, d), jnp.float32) * 0.5 for k in ks]
+
+
+def test_matches_sdpa(mesh):
+    q, k, v = _qkv()
+    out = make_ring_attention(mesh)(q, k, v)
+    ref = sdpa(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_key_bias_rotates(mesh):
+    q, k, v = _qkv(seed=3)
+    visible = (jax.random.uniform(jax.random.PRNGKey(9), (2, 64)) > 0.4)
+    bias = jnp.where(visible, 0.0, -jnp.inf)[:, None, None, :]
+    spec = P(None, None, "sequence", None)
+    bspec = P(None, None, None, "sequence")
+
+    run = shard_map(
+        lambda q, k, v, b: ring_attention(q, k, v, "sequence", key_bias=b),
+        mesh=mesh, in_specs=(spec, spec, spec, bspec), out_specs=spec,
+        check_rep=False)
+    out = run(q, k, v, bias)
+    ref = sdpa(q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_block_causal_via_bias_fn(mesh):
+    """Block-causal over ring shards: query shard i attends to key shards
+    <= i (frame-per-shard temporal AR layout)."""
+    q, k, v = _qkv(seed=5)
+    spec = P(None, None, "sequence", None)
+
+    def run_fn(q, k, v):
+        me = jax.lax.axis_index("sequence")
+
+        def bias_fn(src):
+            return jnp.where(src <= me, 0.0, -jnp.inf)
+
+        return ring_attention(q, k, v, "sequence", bias_fn=bias_fn)
+
+    out = shard_map(run_fn, mesh=mesh, in_specs=(spec, spec, spec),
+                    out_specs=spec, check_rep=False)(q, k, v)
+    # dense reference: block-causal over 8 blocks of 8
+    blk = jnp.arange(64) // 8
+    bias = jnp.where(blk[:, None] >= blk[None, :], 0.0, -jnp.inf)[None, None]
+    ref = sdpa(q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_grad_flows(mesh):
+    """Differentiable: collective-permute transposes cleanly in reverse."""
+    q, k, v = _qkv(l=32, seed=7)
+    run = make_ring_attention(mesh)
+
+    def loss_ring(q, k, v):
+        return jnp.sum(jnp.sin(run(q, k, v)))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.sin(sdpa(q, k, v)))
+
+    g1 = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=5e-5)
