@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Quality evaluation of a trained point-cloud checkpoint: CD/EMD sweep,
+bf16 vs int8 serving, noise baseline. Writes a results JSON for CI.
+
+Mirrors the reference's `test_optimize.py:478-545` guidance sweep + JSON
+dump (`:694-707`) on the fixed stats.json coordinate system.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoint-dir", default="output/pc_r2")
+    ap.add_argument("--arch", default="pc_d8w768")
+    ap.add_argument("--num-points", type=int, default=1024)
+    ap.add_argument("--num-shapes", type=int, default=24)
+    ap.add_argument("--steps", type=int, default=25)
+    ap.add_argument("--out", default="results/pc_quality_r2.json")
+    ap.add_argument("--seed", type=int, default=123)
+    args = ap.parse_args()
+
+    from nova_pointcloud_tpu.utils.platform import ensure_cpu_if_forced
+
+    ensure_cpu_if_forced()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nova_pointcloud_tpu.data.shapenet import (GlobalNormalizer,
+                                                   make_synthetic_clouds)
+    from nova_pointcloud_tpu.engine.checkpoint import CheckpointManager
+    from nova_pointcloud_tpu.evaluation.pointcloud_eval import (
+        PointCloudEvaluator, evaluate_batch)
+    from nova_pointcloud_tpu.models.pointcloud import NOVAPointCloudTransformer
+    from nova_pointcloud_tpu.models.text_encoders.dummy import DummyTextEncoder
+    from nova_pointcloud_tpu.pipelines.pointcloud_gen import (
+        NOVAPointCloudGenerationPipeline)
+    from nova_pointcloud_tpu.schedulers import DDPMScheduler
+
+    on_tpu = jax.default_backend() == "tpu"
+    normalizer = GlobalNormalizer.load(
+        os.path.join(args.checkpoint_dir, "stats.json"))
+    shapes = make_synthetic_clouds(args.num_shapes, args.num_points,
+                                   args.seed)
+    prompts = [s["prompt"] for s in shapes]
+    refs = normalizer.normalize(
+        np.stack([s["points"] for s in shapes])).astype(np.float32)
+
+    def build(quantize):
+        model = NOVAPointCloudTransformer(
+            arch=args.arch, point_cloud_size=args.num_points, patch_size=1,
+            text_token_dim=256, dropout=0.0, quantize=quantize,
+            dtype=jnp.bfloat16 if on_tpu else None)
+        x = jnp.zeros((1, args.num_points, 3))
+        params = jax.jit(model.init)(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)},
+            x, jnp.zeros((1,), jnp.int32), jnp.zeros((1, 16, 256)))["params"]
+        ckpt = CheckpointManager(args.checkpoint_dir)
+        out = ckpt.restore(template={"params": params})
+        if out is None:
+            raise SystemExit(f"no checkpoint under {args.checkpoint_dir}")
+        params = out["state"]["params"]
+        step = out["step"]
+        if on_tpu:
+            params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
+        pipe = NOVAPointCloudGenerationPipeline(
+            model, params, DDPMScheduler(beta_schedule="squaredcos_cap_v2"),
+            text_encoder=DummyTextEncoder(256, 16))
+        return pipe, step
+
+    results = {"arch": args.arch, "num_points": args.num_points,
+               "diffusion_steps": args.steps,
+               "backend": jax.default_backend()}
+
+    # noise baseline: what CD/EMD does pure noise score?
+    noise = np.random.RandomState(0).randn(*refs.shape).astype(np.float32)
+    noise = np.tanh(noise)
+    results["noise_baseline"] = evaluate_batch(noise, refs)
+
+    for tag, quantize in (("bf16", False), ("int8", True)):
+        if quantize and not on_tpu:
+            continue
+        pipe, step = build(quantize)
+        results["checkpoint_step"] = step
+        ev = PointCloudEvaluator(pipe)
+        r = ev.run(prompts, refs, guidance_scales=(1.0, 2.0, 3.0, 5.0),
+                   num_points=args.num_points,
+                   num_diffusion_steps=args.steps,
+                   key=jax.random.PRNGKey(args.seed))
+        results[tag] = r
+        print(tag, "best_cd=%.4f best_emd=%.4f @gs=%s" % (
+            r["best_chamfer"], r["best_emd"], r["best_guidance_scale"]))
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2, default=str)
+    print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()
