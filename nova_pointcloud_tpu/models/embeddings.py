@@ -181,6 +181,7 @@ class MotionEmbed(nn.Module):
     freq_dim: int = 128
 
     def _one(self, values: jax.Array, name: str) -> jax.Array:
+        values = values.reshape(values.shape[0])  # accept (B,) or (B, 1)
         freq = 1.0 / (10000 ** (jnp.arange(self.freq_dim, dtype=jnp.float32)
                                 / self.freq_dim))
         f = values[:, None, None].astype(jnp.float32) * freq[None, None]
