@@ -70,6 +70,7 @@ class PointCloudEvaluator:
         num_diffusion_steps: int = 25,
         key: Optional[jax.Array] = None,
         output_json: Optional[str] = None,
+        postprocess: str = "eval",  # test_optimize.py:344 clamp, no tanh
     ) -> Dict:
         key = key if key is not None else jax.random.PRNGKey(0)
         sweep: List[EvalResult] = []
@@ -77,7 +78,8 @@ class PointCloudEvaluator:
             t0 = time.time()
             out = self.pipeline(list(prompts), num_points=num_points,
                                 num_diffusion_steps=num_diffusion_steps,
-                                guidance_scale=gs, key=key)
+                                guidance_scale=gs, key=key,
+                                postprocess=postprocess)
             metrics = evaluate_batch(np.asarray(out.point_clouds),
                                      np.asarray(references))
             sweep.append(EvalResult(gs, metrics["chamfer"],

@@ -54,7 +54,8 @@ class NOVAPointCloudGenerationPipeline:
 
     # -- samplers ---------------------------------------------------------------
     def _make_sampler(self, batch: int, num_points: int, steps: int,
-                      use_cfg: bool, use_ar: bool, num_subsets: int):
+                      use_cfg: bool, use_ar: bool, num_subsets: int,
+                      postprocess: str = "standard"):
         model, scheduler = self.model, self.scheduler
         sched = scheduler.set_timesteps(steps)
         ts = jnp.asarray(sched.timesteps, jnp.int32)
@@ -83,11 +84,16 @@ class NOVAPointCloudGenerationPipeline:
 
             if use_ar:
                 x = self._ar_refine(ar_params, x, num_subsets, k_ar)
-            else:
-                # standard: tanh + structured noise + clamp (`:284-293`)
+            elif postprocess == "standard":
+                # pipeline path: tanh + structured noise + clamp (`:284-293`)
                 x = jnp.tanh(x)
                 x = x + 0.1 * jax.random.normal(k_post, x.shape)
                 x = jnp.clip(x, -1.0, 1.0)
+            else:
+                # eval path: the reference's own quality evaluator clamps to
+                # +-2 with NO tanh / added noise (`test_optimize.py:344`);
+                # tanh systematically shrinks geometry vs unit-std data
+                x = jnp.clip(x, -2.0, 2.0)
             colors = jnp.clip(jnp.abs(x), 0, 1)
             colors = jnp.clip(colors + 0.1 * jax.random.normal(k_col, x.shape), 0, 1)
             return x, colors
@@ -166,6 +172,7 @@ class NOVAPointCloudGenerationPipeline:
         prompt_embeds: Optional[np.ndarray] = None,
         output_type: str = "numpy",
         denormalize: bool = False,
+        postprocess: str = "standard",  # "standard" (`:284-293`) | "eval"
     ) -> NOVAPointCloudPipelineOutput:
         if isinstance(prompt, str):
             prompt = [prompt]
@@ -179,7 +186,8 @@ class NOVAPointCloudGenerationPipeline:
             raise ValueError("AR mode requires an ar_refiner (+params)")
         sampler = self._get_sampler(
             batch=batch, num_points=num_points, steps=num_diffusion_steps,
-            use_cfg=use_cfg, use_ar=use_autoregressive, num_subsets=num_subsets)
+            use_cfg=use_cfg, use_ar=use_autoregressive,
+            num_subsets=num_subsets, postprocess=postprocess)
         points, colors = sampler(self.params, self.ar_params,
                                  jnp.asarray(prompt_embeds),
                                  jnp.float32(guidance_scale), key)

@@ -49,8 +49,8 @@ def main():
     shapes = make_synthetic_clouds(args.num_shapes, args.num_points,
                                    args.seed)
     prompts = [s["prompt"] for s in shapes]
-    refs = normalizer.normalize(
-        np.stack([s["points"] for s in shapes])).astype(np.float32)
+    refs = np.clip(normalizer.normalize(
+        np.stack([s["points"] for s in shapes])), -1.0, 1.0).astype(np.float32)  # `train_newloss.py:919`
 
     def build(quantize):
         model = NOVAPointCloudTransformer(
@@ -80,8 +80,8 @@ def main():
                "backend": jax.default_backend()}
 
     # noise baseline: what CD/EMD does pure noise score?
-    noise = np.random.RandomState(0).randn(*refs.shape).astype(np.float32)
-    noise = np.tanh(noise)
+    noise = np.clip(np.random.RandomState(0).randn(*refs.shape),
+                    -2, 2).astype(np.float32)
     results["noise_baseline"] = evaluate_batch(noise, refs)
 
     for tag, quantize in (("bf16", False), ("int8", True)):

@@ -79,7 +79,8 @@ def main():
     def data():
         for batch in make_batches(shapes, args.batch_size, args.max_points,
                                   args.seed):
-            pts = normalizer.normalize(batch["points"]).astype(np.float32)
+            pts = np.clip(normalizer.normalize(batch["points"]),
+                          -1.0, 1.0).astype(np.float32)  # `train_newloss.py:919`
             emb, _ = text_encoder.encode(batch["prompts"])
             yield {"points": pts, "text_embeds": emb}
 
@@ -90,8 +91,8 @@ def main():
                                     normalizer=normalizer)
     refs_shapes = make_synthetic_clouds(24, args.max_points, args.seed + 7)
     prompts = [s["prompt"] for s in refs_shapes]
-    refs = normalizer.normalize(
-        np.stack([s["points"] for s in refs_shapes])).astype(np.float32)
+    refs = np.clip(normalizer.normalize(
+        np.stack([s["points"] for s in refs_shapes])), -1.0, 1.0).astype(np.float32)
     results = {"arch": args.arch, "params_m": round(n_params / 1e6, 1),
                "steps": args.max_steps, "mode": "masked_ar",
                "sweep": []}

@@ -109,7 +109,11 @@ def main():
 
     def norm_batches(ds, seed):
         for batch in make_batches(ds, args.batch_size, args.max_points, seed):
-            batch["points"] = normalizer.normalize(batch["points"])
+            # clamp to [-1, 1] after normalization like the reference
+            # (`train_newloss.py:919`): the sampler's tanh/clamp postprocess
+            # assumes the data distribution lives in [-1, 1]
+            batch["points"] = np.clip(normalizer.normalize(batch["points"]),
+                                      -1.0, 1.0)
             yield batch
 
     # early stopping on validation loss (`train_newloss.py:1407-1434`)

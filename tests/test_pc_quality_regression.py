@@ -1,0 +1,85 @@
+"""Quality regression: a briefly-trained tiny pc model must beat noise on CD.
+
+The goldens pin numerics of random-weight models; this guards learning
+DYNAMICS — a change that silently ruins training (loss wiring, scheduler,
+normalization) fails here even if shapes and numerics stay valid.
+(VERDICT r1 weak #7; reference yardstick `test_optimize.py:478-545`.)
+"""
+
+import numpy as np
+
+CD_IMPROVEMENT = 0.75  # trained CD must be <= 75% of the noise baseline
+
+
+def test_trained_tiny_model_beats_noise_on_cd():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from nova_pointcloud_tpu.data.shapenet import (GlobalNormalizer,
+                                                   make_batches,
+                                                   make_synthetic_clouds)
+    from nova_pointcloud_tpu.engine.trainer import Trainer
+    from nova_pointcloud_tpu.evaluation.pointcloud_eval import evaluate_batch
+    from nova_pointcloud_tpu.models.pointcloud import NOVAPointCloudTransformer
+    from nova_pointcloud_tpu.models.text_encoders.dummy import DummyTextEncoder
+    from nova_pointcloud_tpu.ops import losses as L
+    from nova_pointcloud_tpu.pipelines.pointcloud_gen import (
+        NOVAPointCloudGenerationPipeline)
+    from nova_pointcloud_tpu.schedulers import DDPMScheduler
+
+    n_pts, steps = 128, 300
+    shapes = make_synthetic_clouds(32, n_pts, seed=0)
+    normalizer = GlobalNormalizer().fit([s["points"] for s in shapes])
+    text_encoder = DummyTextEncoder(64, 8)
+    scheduler = DDPMScheduler(beta_schedule="squaredcos_cap_v2")
+    model = NOVAPointCloudTransformer(arch="pc_d2w64", point_cloud_size=n_pts,
+                                      patch_size=1, text_token_dim=64,
+                                      dropout=0.0)
+    params = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros((2, n_pts, 3)), jnp.zeros((2,), jnp.int32),
+        jnp.zeros((2, 8, 64)))["params"]
+
+    def loss_fn(p, batch, key):
+        k_t, k_n, k_d = jax.random.split(key, 3)
+        pts = batch["points"]
+        t = scheduler.sample_timesteps(k_t, (pts.shape[0],))
+        noise = jax.random.normal(k_n, pts.shape)
+        x_t = scheduler.add_noise(pts, noise, t)
+        pred = model.apply({"params": p}, x_t, t, batch["text_embeds"],
+                           rngs={"dropout": k_d})
+        loss = jnp.mean((pred - noise) ** 2)
+        return loss, {"loss_diffusion": loss}
+
+    trainer = Trainer(loss_fn, params, optax.adamw(2e-3), output_dir=None,
+                      max_steps=steps, log_every=1000, save_every=0,
+                      ema_decay=None, seed=0)
+
+    def data():
+        for b in make_batches(shapes, 16, n_pts, seed=0):
+            yield {"points": np.clip(normalizer.normalize(b["points"]),
+                                     -1, 1).astype(np.float32),
+                   "text_embeds": text_encoder.encode(b["prompts"])[0]}
+
+    trainer.train(data(), steps)
+
+    pipe = NOVAPointCloudGenerationPipeline(
+        model, trainer.params, scheduler, text_encoder=text_encoder)
+    refs_shapes = make_synthetic_clouds(8, n_pts, seed=9)
+    refs = np.clip(normalizer.normalize(
+        np.stack([s["points"] for s in refs_shapes])), -1, 1).astype(np.float32)
+    out = pipe([s["prompt"] for s in refs_shapes], num_points=n_pts,
+               num_diffusion_steps=25, guidance_scale=2.0,
+               key=jax.random.PRNGKey(3), postprocess="eval")
+    trained = evaluate_batch(np.asarray(out.point_clouds), refs,
+                             max_emd_points=128)
+
+    noise = np.clip(np.random.RandomState(0).randn(*refs.shape),
+                    -2, 2).astype(np.float32)
+    baseline = evaluate_batch(noise, refs, max_emd_points=128)
+
+    assert np.isfinite(trained["chamfer"])
+    assert trained["chamfer"] < CD_IMPROVEMENT * baseline["chamfer"], (
+        f"trained CD {trained['chamfer']:.4f} vs noise "
+        f"{baseline['chamfer']:.4f}")
