@@ -144,14 +144,51 @@ class PreLNBlock(nn.Module):
             self.fc2 = nn.Dense(self.dim, dtype=self.dtype)
         self.drop = nn.Dropout(self.dropout)
 
-    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
-        h = self.norm1(x)
-        h = self.attn(h, h, deterministic=deterministic)
-        x = x + self.drop(h, deterministic=deterministic)
+    def _fused_attention(self, x: jax.Array) -> jax.Array:
+        """Serving-path attention: fused Pallas LN+int8 QKV projection, XLA
+        attention core (tiny FLOPs at 128 tokens), fused int8 out-projection
+        + residual. Reads the flax MHA param tree, so bf16 checkpoints serve
+        through this path with no conversion."""
+        from nova_pointcloud_tpu.ops.pallas.fused_block import (
+            fused_ln_int8_matmul, int8_matmul_residual)
+        from nova_pointcloud_tpu.ops.quantization import quantize_weight
 
+        d = self.dim
+        heads = self.num_heads
+        hd = d // heads
+        lnp = self.norm1.variables["params"]
+        ap = self.attn.variables["params"]
+        wqkv = jnp.concatenate(
+            [ap[k]["kernel"].reshape(d, d) for k in ("query", "key", "value")],
+            axis=1)  # (D, 3D)
+        bqkv = jnp.concatenate(
+            [ap[k]["bias"].reshape(d) for k in ("query", "key", "value")])
+        qw = quantize_weight(wqkv)
+        qkv = fused_ln_int8_matmul(x, lnp["scale"], lnp["bias"],
+                                   qw.values, qw.scales, bqkv)  # (B, T, 3D)
+        b, t, _ = qkv.shape
+        q, k, v = [a.reshape(b, t, heads, hd)
+                   for a in jnp.split(qkv, 3, axis=-1)]
+        q = q * (hd ** -0.5)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        av = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, t, d)
+        ow = quantize_weight(ap["out"]["kernel"].reshape(d, d))
+        return int8_matmul_residual(av, x, ow.values, ow.scales,
+                                    ap["out"]["bias"].reshape(d))
+
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         use_fused = (self.quantize and deterministic
                      and not self.is_initializing()
                      and jax.default_backend() == "tpu")
+        if use_fused:
+            x = self._fused_attention(x)
+        else:
+            h = self.norm1(x)
+            h = self.attn(h, h, deterministic=deterministic)
+            x = x + self.drop(h, deterministic=deterministic)
+
         if use_fused:
             from nova_pointcloud_tpu.ops.pallas.fused_block import (
                 fused_ln_int8_mlp)

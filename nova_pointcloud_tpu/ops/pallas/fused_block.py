@@ -14,9 +14,12 @@ Replaces the reference's per-op eager torch path
 only (forward); training uses the XLA path. Weight layout matches
 ops/quantization.quantize_weight (per-output-channel symmetric int8).
 
-A fused LN+attention kernel was tried and rejected: Mosaic cannot lower the
-(N, 3D) -> (N, 3, H, hd) head-split reshape, and flax MHA already runs within
-~15% of the projection-FLOP bound at these shapes.
+Attention projections (the other half of the block's matmul FLOPs) get the
+same treatment via `fused_ln_int8_matmul` (LN -> q8 -> one (D, 3D) QKV
+matmul) and `int8_matmul_residual` (out-projection + residual). The head
+split happens OUTSIDE the kernel in XLA: an earlier attempt to fuse the
+(N, 3D) -> (N, 3, H, hd) reshape inside the kernel failed to lower in
+Mosaic, but emitting (N, 3D) and reshaping in the caller is free.
 """
 
 import functools
@@ -111,3 +114,130 @@ def fused_ln_int8_mlp(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
     if pad:
         out = out[:m]
     return out.reshape(orig_shape)
+
+
+def _ln_matmul_kernel(x_ref, lns_ref, lnb_ref, w_ref, s_ref, b_ref, o_ref):
+    x = x_ref[...].astype(jnp.float32)  # (TM, D)
+    h = _ln(x, lns_ref[0].astype(jnp.float32), lnb_ref[0].astype(jnp.float32))
+    q, sx = _quant_rows(h)
+    a = jax.lax.dot_general(q, w_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    o_ref[...] = (a.astype(jnp.float32) * sx * s_ref[0]
+                  + b_ref[0]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m",))
+def fused_ln_int8_matmul(x: jax.Array, ln_scale: jax.Array,
+                         ln_bias: jax.Array, wq: jax.Array, s: jax.Array,
+                         b: jax.Array, block_m: int = 256) -> jax.Array:
+    """LN(x) -> per-row int8 quant -> one int8 matmul, fused in VMEM.
+
+    x (..., D); wq (D, O) int8 with per-channel scales s (O,). Returns
+    (..., O) in x.dtype. Serving path for the QKV projection: O = 3D, the
+    (B, T, 3D) output is head-split by the caller (XLA reshape is free).
+    """
+    orig_shape = x.shape
+    d = x.shape[-1]
+    o_dim = wq.shape[1]
+    xf = x.reshape(-1, d)
+    m = xf.shape[0]
+    pad = (-m) % block_m
+    if pad:
+        xf = jnp.pad(xf, ((0, pad), (0, 0)))
+    rows = xf.shape[0]
+
+    def row2(a):
+        return a.astype(jnp.float32).reshape(1, -1)
+
+    out = pl.pallas_call(
+        _ln_matmul_kernel,
+        out_shape=jax.ShapeDtypeStruct((rows, o_dim), x.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(rows // block_m,),
+            in_specs=[
+                pl.BlockSpec((block_m, d), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, o_dim), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, o_dim), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, o_dim), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((block_m, o_dim), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rows * d * o_dim,
+            bytes_accessed=rows * (d + o_dim) * 2 + d * o_dim,
+            transcendentals=0,
+        ),
+    )(xf, row2(ln_scale), row2(ln_bias), wq, row2(s), row2(b))
+    if pad:
+        out = out[:m]
+    return out.reshape(orig_shape[:-1] + (o_dim,))
+
+
+def _matmul_res_kernel(x_ref, res_ref, w_ref, s_ref, b_ref, o_ref):
+    x = x_ref[...].astype(jnp.float32)  # (TM, D_in)
+    q, sx = _quant_rows(x)
+    a = jax.lax.dot_general(q, w_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    a = a.astype(jnp.float32) * sx * s_ref[0] + b_ref[0]
+    o_ref[...] = (res_ref[...].astype(jnp.float32) + a).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m",))
+def int8_matmul_residual(x: jax.Array, residual: jax.Array, wq: jax.Array,
+                         s: jax.Array, b: jax.Array,
+                         block_m: int = 256) -> jax.Array:
+    """residual + (q8(x) @ wq) * sx * s + b, fused in VMEM.
+
+    x (..., D_in); residual (..., D_out); wq (D_in, D_out) int8. The serving
+    path for the attention out-projection (+ residual add, saving one HBM
+    round trip)."""
+    d_in = x.shape[-1]
+    d_out = wq.shape[1]
+    xf = x.reshape(-1, d_in)
+    rf = residual.reshape(-1, d_out)
+    m = xf.shape[0]
+    pad = (-m) % block_m
+    if pad:
+        xf = jnp.pad(xf, ((0, pad), (0, 0)))
+        rf = jnp.pad(rf, ((0, pad), (0, 0)))
+    rows = xf.shape[0]
+
+    def row2(a):
+        return a.astype(jnp.float32).reshape(1, -1)
+
+    out = pl.pallas_call(
+        _matmul_res_kernel,
+        out_shape=jax.ShapeDtypeStruct((rows, d_out), residual.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(rows // block_m,),
+            in_specs=[
+                pl.BlockSpec((block_m, d_in), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_m, d_out), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((d_in, d_out), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, d_out), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, d_out), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((block_m, d_out), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rows * d_in * d_out,
+            bytes_accessed=rows * (d_in + 2 * d_out) * 2 + d_in * d_out,
+            transcendentals=0,
+        ),
+    )(xf, rf, wq, row2(s), row2(b))
+    if pad:
+        out = out[:m]
+    return out.reshape(residual.shape)

@@ -6,7 +6,8 @@ import numpy as np
 from jax.experimental.pallas import tpu as pltpu
 
 from nova_pointcloud_tpu.models.pointcloud import PreLNBlock
-from nova_pointcloud_tpu.ops.pallas.fused_block import fused_ln_int8_mlp
+from nova_pointcloud_tpu.ops.pallas.fused_block import (
+    fused_ln_int8_matmul, fused_ln_int8_mlp, int8_matmul_residual)
 from nova_pointcloud_tpu.ops.quantization import int8_matmul, quantize_weight
 
 
@@ -36,10 +37,54 @@ def test_fused_mlp_matches_xla_int8_path():
                                atol=2e-2, rtol=2e-2)
 
 
+def test_fused_ln_matmul_matches_xla_int8():
+    key = jax.random.PRNGKey(2)
+    d, o = 256, 768
+    ks = jax.random.split(key, 4)
+    x = jax.random.normal(ks[0], (2, 64, d), jnp.float32) * 0.5
+    lns = jax.random.normal(ks[1], (d,)) * 0.1 + 1.0
+    lnb = jax.random.normal(ks[1], (d,)) * 0.1
+    w = jax.random.normal(ks[2], (d, o)) * 0.05
+    b = jax.random.normal(ks[3], (o,)) * 0.01
+    qw = quantize_weight(w)
+
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    h = (x - mu) * jax.lax.rsqrt(var + 1e-6) * lns + lnb
+    ref = int8_matmul(h, qw, jnp.float32) + b
+
+    with pltpu.force_tpu_interpret_mode():
+        out = fused_ln_int8_matmul(x, lns, lnb, qw.values, qw.scales, b,
+                                   block_m=64)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_int8_matmul_residual_matches_xla_int8():
+    key = jax.random.PRNGKey(3)
+    d_in, d_out = 192, 128
+    ks = jax.random.split(key, 4)
+    x = jax.random.normal(ks[0], (2, 48, d_in), jnp.float32) * 0.5
+    res = jax.random.normal(ks[1], (2, 48, d_out), jnp.float32)
+    w = jax.random.normal(ks[2], (d_in, d_out)) * 0.05
+    b = jax.random.normal(ks[3], (d_out,)) * 0.01
+    qw = quantize_weight(w)
+    ref = res + int8_matmul(x, qw, jnp.float32) + b
+
+    with pltpu.force_tpu_interpret_mode():
+        out = int8_matmul_residual(x, res, qw.values, qw.scales, b,
+                                   block_m=32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)
+
+
 def test_preln_block_fused_path_matches_xla(monkeypatch):
-    """The quantize=True serving path (Pallas kernel) == the XLA int8 path
-    with the same params. Exercised on CPU by faking the TPU backend gate
-    inside interpret mode."""
+    """The quantize=True serving path (fused Pallas kernels, incl. int8
+    attention projections) tracks the XLA int8-MLP/bf16-attention path with
+    the same params. Exercised on CPU by faking the TPU backend gate inside
+    interpret mode. Tolerance covers the extra attention-projection
+    quantization (absent from the XLA path); end-to-end quality of the int8
+    path is guarded by the CD/EMD sweep in scripts/eval_pc_quality.py."""
     key = jax.random.PRNGKey(1)
     blk = PreLNBlock(dim=128, num_heads=4, dropout=0.0, quantize=True)
     x = jax.random.normal(key, (2, 32, 128), jnp.float32) * 0.3
@@ -50,5 +95,7 @@ def test_preln_block_fused_path_matches_xla(monkeypatch):
     monkeypatch.setattr(pc_mod.jax, "default_backend", lambda: "tpu")
     with pltpu.force_tpu_interpret_mode():
         out = blk.apply({"params": params}, x)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               atol=2e-2, rtol=2e-2)
+    err = np.abs(np.asarray(out) - np.asarray(ref))
+    scale = np.abs(np.asarray(ref)).mean()
+    assert err.mean() / scale < 2e-2, (err.mean(), scale)
+    assert err.max() / scale < 2e-1, (err.max(), scale)
