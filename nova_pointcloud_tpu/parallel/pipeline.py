@@ -1,0 +1,155 @@
+"""Pipeline parallelism: GPipe-style microbatch pipelining over a mesh axis.
+
+The reference has no PP (SURVEY §2.6: DeepSpeed ZeRO-2 DP only); this is the
+TPU-native extension for models whose layer stack outgrows one chip. It
+exploits the repo-wide convention that every deep stack is an ``nn.scan``
+BlockStack whose params carry a leading (depth,) axis: reshape that axis to
+(stages, depth/stages), shard it over a "pipe" mesh axis, and run the classic
+GPipe schedule — M microbatches flow through S stages over S+M-1 ticks, with
+activations hopping stage-to-stage via ``jax.lax.ppermute`` so the transfers
+ride neighbor ICI links.
+
+Differentiable end to end (scan + ppermute have transpose rules), so the same
+program serves forward and training. Bubble fraction is (S-1)/(S+M-1); pick
+num_micro >= num_stages for >=50% pipeline utilization.
+
+Composes with DP: put "data" on the microbatch dim of the inputs and "pipe"
+on the stage axis of the params — XLA keeps grad all-reduces on "data"
+orthogonal to the ppermute ring on "pipe".
+
+Usage (see tests/test_pipeline_parallel.py):
+
+    stacked = stack_stage_params(block_params, num_stages)     # (S, L/S, ...)
+    run = make_pipelined_apply(block_apply, num_stages, mesh)
+    out = run(stacked, microbatches)     # (M, mb, T, D) -> (M, mb, T, D)
+"""
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.8 top-level API; experimental path is deprecated
+    _shard_map = jax.shard_map
+
+    def shard_map(f, *, mesh, in_specs, out_specs):
+        return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs, check_vma=False)
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _esm
+
+    def shard_map(f, *, mesh, in_specs, out_specs):
+        return _esm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                    check_rep=False)
+
+
+def stack_stage_params(params, num_stages: int):
+    """Reshape scanned-block params (depth, ...) -> (stages, depth/stages, ...)."""
+    def reshape(p):
+        depth = p.shape[0]
+        if depth % num_stages:
+            raise ValueError(f"depth {depth} not divisible by {num_stages} stages")
+        return p.reshape((num_stages, depth // num_stages) + p.shape[1:])
+
+    return jax.tree.map(reshape, params)
+
+
+def unstack_stage_params(params):
+    """Inverse of stack_stage_params: (S, L/S, ...) -> (depth, ...)."""
+    return jax.tree.map(
+        lambda p: p.reshape((p.shape[0] * p.shape[1],) + p.shape[2:]), params)
+
+
+def stage_param_sharding(stacked_params, mesh: Mesh, axis: str = "pipe"):
+    """NamedSharding tree placing the leading stage axis on ``axis``."""
+    def spec(p):
+        return NamedSharding(mesh, P(*([axis] + [None] * (p.ndim - 1))))
+
+    return jax.tree.map(spec, stacked_params)
+
+
+def pipelined_apply(block_apply: Callable, stage_params, x, *,
+                    num_stages: int, axis: str = "pipe"):
+    """Run the GPipe schedule inside ``shard_map``.
+
+    block_apply(layer_params, h) -> h applies ONE block (layer_params = one
+    depth-slice of the param tree). stage_params: this device's local
+    (1, L/S, ...) tree (leading stage axis stripped here). x: (M, mb, T, D)
+    microbatches, replicated over ``axis``. Returns (M, mb, T, D), identical
+    on every pipe member.
+    """
+    local = jax.tree.map(lambda p: p[0], stage_params)  # (L/S, ...)
+    s = jax.lax.axis_index(axis)
+    num_micro = x.shape[0]
+    ticks = num_micro + num_stages - 1
+    perm = [(i, (i + 1) % num_stages) for i in range(num_stages)]
+
+    def stage_fn(h):
+        def body(h, layer_params):
+            return block_apply(layer_params, h), None
+
+        h, _ = jax.lax.scan(body, h, local)
+        return h
+
+    def tick(carry, t):
+        h_prev, out = carry
+        # stage 0 ingests microbatch t (clipped; bubble work is never read)
+        x_in = jax.lax.dynamic_index_in_dim(
+            x, jnp.clip(t, 0, num_micro - 1), 0, keepdims=False)
+        h_in = jnp.where(s == 0, x_in, h_prev)
+        h_out = stage_fn(h_in)
+        # the last stage owns microbatch t-(S-1) at tick t
+        o_idx = jnp.clip(t - (num_stages - 1), 0, num_micro - 1)
+        write = jnp.logical_and(s == num_stages - 1, t >= num_stages - 1)
+        out = jnp.where(
+            write,
+            jax.lax.dynamic_update_index_in_dim(out, h_out, o_idx, 0),
+            out)
+        h_next = jax.lax.ppermute(h_out, axis, perm)
+        return (h_next, out), None
+
+    h0 = jnp.zeros_like(x[0])
+    out0 = jnp.zeros_like(x)
+    (_, out), _ = jax.lax.scan(tick, (h0, out0), jnp.arange(ticks))
+    # outputs live on the last stage only; all_gather + static index
+    # broadcasts them to every pipe member. (NOT a masked psum: psum's
+    # transpose re-sums the already-replicated cotangent, scaling grads
+    # by the pipe size; all_gather transposes correctly.)
+    return jax.lax.all_gather(out, axis)[num_stages - 1]
+
+
+def make_pipelined_apply(block_apply: Callable, num_stages: int, mesh: Mesh,
+                         axis: str = "pipe", data_axis: str = None):
+    """shard_map-wrapped GPipe runner over full arrays.
+
+    Returns run(stacked_params, x): stacked_params (S, L/S, ...) sharded on
+    ``axis``; x (M, mb, T, D) microbatches, optionally sharded on
+    ``data_axis`` over mb. Differentiable in both arguments.
+    """
+    x_spec = P(None, data_axis, None, None)
+
+    def run(stacked_params, x):
+        p_specs = jax.tree.map(
+            lambda p: P(*([axis] + [None] * (p.ndim - 1))), stacked_params)
+        fn = shard_map(
+            partial(pipelined_apply, block_apply, num_stages=num_stages,
+                    axis=axis),
+            mesh=mesh, in_specs=(p_specs, x_spec), out_specs=x_spec)
+        return fn(stacked_params, x)
+
+    return run
+
+
+def split_microbatches(batch: jax.Array, num_micro: int) -> jax.Array:
+    """(B, ...) -> (M, B/M, ...) for the pipeline schedule."""
+    b = batch.shape[0]
+    if b % num_micro:
+        raise ValueError(f"batch {b} not divisible by {num_micro} microbatches")
+    return batch.reshape((num_micro, b // num_micro) + batch.shape[1:])
+
+
+def merge_microbatches(batch: jax.Array) -> jax.Array:
+    """Inverse of split_microbatches."""
+    return batch.reshape((batch.shape[0] * batch.shape[1],) + batch.shape[2:])

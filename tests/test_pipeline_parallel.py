@@ -1,0 +1,129 @@
+"""Pipeline parallelism: GPipe schedule == sequential stack, fwd and grad.
+
+Runs on the 8-virtual-device CPU mesh (conftest). The reference has no PP
+(SURVEY §2.6); these tests pin the TPU-native extension's semantics: the
+pipelined program must be numerically identical to running the scanned block
+stack sequentially, including through value_and_grad.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from nova_pointcloud_tpu.models.pointcloud import BlockStack, PreLNBlock
+from nova_pointcloud_tpu.parallel import create_mesh
+from nova_pointcloud_tpu.parallel.pipeline import (
+    make_pipelined_apply, merge_microbatches, split_microbatches,
+    stack_stage_params, unstack_stage_params)
+
+DEPTH, DIM, HEADS = 8, 32, 2
+STAGES, MICRO = 4, 4
+
+
+def _setup():
+    stack = BlockStack(depth=DEPTH, dim=DIM, num_heads=HEADS, dropout=0.0)
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 16, DIM))
+    params = stack.init(jax.random.PRNGKey(1), x)["params"]
+    block_params = params["layers"]["block"]  # leading (depth,) axis
+
+    def block_apply(p, h):
+        return PreLNBlock(DIM, HEADS, dropout=0.0).apply({"params": p}, h,
+                                                         True)
+
+    return stack, params, block_params, block_apply, x
+
+
+def test_stack_unstack_roundtrip():
+    _, _, block_params, _, _ = _setup()
+    stacked = stack_stage_params(block_params, STAGES)
+    leaf = jax.tree.leaves(stacked)[0]
+    assert leaf.shape[:2] == (STAGES, DEPTH // STAGES)
+    rt = unstack_stage_params(stacked)
+    for a, b in zip(jax.tree.leaves(rt), jax.tree.leaves(block_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pipelined_matches_sequential():
+    stack, params, block_params, block_apply, x = _setup()
+    ref = stack.apply({"params": params}, x)
+
+    mesh = create_mesh({"pipe": STAGES, "data": 2})
+    run = make_pipelined_apply(block_apply, STAGES, mesh, axis="pipe",
+                               data_axis="data")
+    stacked = stack_stage_params(block_params, STAGES)
+    out = merge_microbatches(run(stacked, split_microbatches(x, MICRO)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_pipelined_uneven_micro_vs_stages():
+    """M != S still schedules correctly (more microbatches than stages)."""
+    stack, params, block_params, block_apply, x = _setup()
+    ref = stack.apply({"params": params}, x)
+    mesh = create_mesh({"pipe": 2, "data": 2}, devices=jax.devices()[:4])
+    run = make_pipelined_apply(block_apply, 2, mesh, axis="pipe",
+                               data_axis="data")
+    stacked = stack_stage_params(block_params, 2)
+    out = merge_microbatches(run(stacked, split_microbatches(x, 4)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_pipelined_grads_match_sequential():
+    stack, params, block_params, block_apply, x = _setup()
+
+    def ref_loss(bp):
+        out = stack.apply({"params": {"layers": {"block": bp}}}, x)
+        return jnp.mean(out ** 2)
+
+    mesh = create_mesh({"pipe": STAGES, "data": 2})
+    run = make_pipelined_apply(block_apply, STAGES, mesh, axis="pipe",
+                               data_axis="data")
+
+    def pp_loss(bp):
+        out = run(stack_stage_params(bp, STAGES), split_microbatches(x, MICRO))
+        return jnp.mean(out ** 2)
+
+    ref_val, ref_grads = jax.value_and_grad(ref_loss)(block_params)
+    pp_val, pp_grads = jax.value_and_grad(pp_loss)(block_params)
+    np.testing.assert_allclose(float(pp_val), float(ref_val), rtol=1e-6)
+    jax.tree_util.tree_map_with_path(
+        lambda path, a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4,
+            err_msg=str(path)),
+        pp_grads, ref_grads)
+
+
+def test_pp_dp_train_step():
+    """One PP x DP train step on the full pc model's block stack: loss
+    decreases and params stay finite (PP composes with the DP grad mean)."""
+    import optax
+
+    stack, params, block_params, block_apply, x = _setup()
+    mesh = create_mesh({"pipe": 2, "data": 2}, devices=jax.devices()[:4])
+    run = make_pipelined_apply(block_apply, 2, mesh, axis="pipe",
+                               data_axis="data")
+    target = jax.random.normal(jax.random.PRNGKey(3), x.shape)
+    opt = optax.adam(1e-2)
+
+    def loss_fn(bp):
+        out = merge_microbatches(
+            run(stack_stage_params(bp, 2), split_microbatches(x, 4)))
+        return jnp.mean((out - target) ** 2)
+
+    state = opt.init(block_params)
+    bp = block_params
+
+    @jax.jit
+    def step(bp, state):
+        loss, grads = jax.value_and_grad(loss_fn)(bp)
+        updates, state = opt.update(grads, state)
+        return optax.apply_updates(bp, updates), state, loss
+
+    losses = []
+    for _ in range(5):
+        bp, state, loss = step(bp, state)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+    assert all(np.isfinite(l) for l in losses)
