@@ -146,8 +146,13 @@ class PreLNBlock(nn.Module):
 
     def _fused_attention(self, x: jax.Array) -> jax.Array:
         """Serving-path attention: fused Pallas LN+int8 QKV projection, XLA
-        attention core (tiny FLOPs at 128 tokens), fused int8 out-projection
-        + residual. Reads the flax MHA param tree, so bf16 checkpoints serve
+        attention core (tiny FLOPs at 128 tokens; bf16 softmax like flax MHA
+        with dtype=bf16 — f32 scores would double the biggest intermediate's
+        HBM traffic), fused int8 out-projection + residual. Weights come
+        pre-quantized from the "qparams" collection when the caller provides
+        one (ops/quantization.quantize_serving_params — hoists quantization
+        out of the sampling scan); else they quantize in-graph. Either way
+        the flax MHA param tree is unchanged, so bf16 checkpoints serve
         through this path with no conversion."""
         from nova_pointcloud_tpu.ops.pallas.fused_block import (
             fused_ln_int8_matmul, int8_matmul_residual)
@@ -158,24 +163,29 @@ class PreLNBlock(nn.Module):
         hd = d // heads
         lnp = self.norm1.variables["params"]
         ap = self.attn.variables["params"]
-        wqkv = jnp.concatenate(
-            [ap[k]["kernel"].reshape(d, d) for k in ("query", "key", "value")],
-            axis=1)  # (D, 3D)
         bqkv = jnp.concatenate(
             [ap[k]["bias"].reshape(d) for k in ("query", "key", "value")])
-        qw = quantize_weight(wqkv)
+        wqkv_q = self.get_variable("qparams", "wqkv_q", None)
+        if wqkv_q is not None:
+            wqkv_s = self.get_variable("qparams", "wqkv_s")
+            out_q = self.get_variable("qparams", "out_q")
+            out_s = self.get_variable("qparams", "out_s")
+        else:
+            wqkv = jnp.concatenate(
+                [ap[k]["kernel"].reshape(d, d)
+                 for k in ("query", "key", "value")], axis=1)  # (D, 3D)
+            wqkv_q, wqkv_s = quantize_weight(wqkv)
+            out_q, out_s = quantize_weight(ap["out"]["kernel"].reshape(d, d))
         qkv = fused_ln_int8_matmul(x, lnp["scale"], lnp["bias"],
-                                   qw.values, qw.scales, bqkv)  # (B, T, 3D)
+                                   wqkv_q, wqkv_s, bqkv)  # (B, T, 3D)
         b, t, _ = qkv.shape
         q, k, v = [a.reshape(b, t, heads, hd)
                    for a in jnp.split(qkv, 3, axis=-1)]
         q = q * (hd ** -0.5)
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                            preferred_element_type=jnp.float32)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k)
         probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
         av = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, t, d)
-        ow = quantize_weight(ap["out"]["kernel"].reshape(d, d))
-        return int8_matmul_residual(av, x, ow.values, ow.scales,
+        return int8_matmul_residual(av, x, out_q, out_s,
                                     ap["out"]["bias"].reshape(d))
 
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
@@ -197,11 +207,17 @@ class PreLNBlock(nn.Module):
             lnp = self.norm2.variables["params"]
             p1 = self.fc1.variables["params"]
             p2 = self.fc2.variables["params"]
-            q1 = quantize_weight(p1["kernel"])
-            q2 = quantize_weight(p2["kernel"])
+            q1v = self.get_variable("qparams", "fc1_q", None)
+            if q1v is not None:
+                q1s = self.get_variable("qparams", "fc1_s")
+                q2v = self.get_variable("qparams", "fc2_q")
+                q2s = self.get_variable("qparams", "fc2_s")
+            else:
+                q1v, q1s = quantize_weight(p1["kernel"])
+                q2v, q2s = quantize_weight(p2["kernel"])
             return fused_ln_int8_mlp(x, lnp["scale"], lnp["bias"],
-                                     q1.values, q1.scales, p1["bias"],
-                                     q2.values, q2.scales, p2["bias"])
+                                     q1v, q1s, p1["bias"],
+                                     q2v, q2s, p2["bias"])
 
         h = self.norm2(x)
         # relu, not gelu: the reference's nn.TransformerEncoderLayer
@@ -258,7 +274,7 @@ class BlockStack(nn.Module):
     def __call__(self, h: jax.Array, deterministic: bool = True) -> jax.Array:
         body = nn.scan(
             _ScanBlockBody,
-            variable_axes={"params": 0},
+            variable_axes={"params": 0, "qparams": 0},
             split_rngs={"params": True, "dropout": True},
             length=self.depth,
             metadata_params={nn.meta.PARTITION_NAME: None},

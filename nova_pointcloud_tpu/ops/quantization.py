@@ -48,6 +48,64 @@ def int8_matmul(x: jax.Array, wq: QuantizedWeight,
     return (acc.astype(jnp.float32) * sx * wq.scales).astype(out_dtype)
 
 
+def quantize_weight_nd(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """quantize_weight for kernels with leading stack axes: (..., in, out) ->
+    int8 (..., in, out) + scales (..., out). Used for nn.scan block stacks."""
+    w = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w), axis=-2, keepdims=True)
+    scales = jnp.maximum(amax / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(w / scales), -127, 127).astype(jnp.int8)
+    return q, jnp.squeeze(scales, axis=-2)
+
+
+def _is_preln_block(tree) -> bool:
+    keys = {"attn", "fc1", "fc2", "norm1", "norm2"}
+    return isinstance(tree, dict) and keys <= set(tree.keys())
+
+
+def _quantize_preln_block(bp) -> dict:
+    """One PreLNBlock param subtree (optionally depth-stacked) -> serving
+    q-leaves read by the fused Pallas path (models/pointcloud.PreLNBlock)."""
+    a = bp["attn"]
+
+    def heads_to_mat(k):  # (..., D, H, hd) -> (..., D, D)
+        return k.reshape(k.shape[:-2] + (-1,))
+
+    wqkv = jnp.concatenate(
+        [heads_to_mat(a[n]["kernel"]) for n in ("query", "key", "value")],
+        axis=-1)  # (..., D, 3D)
+    out_k = a["out"]["kernel"]  # (..., H, hd, D) -> (..., D, D)
+    out_k = out_k.reshape(out_k.shape[:-3]
+                          + (out_k.shape[-3] * out_k.shape[-2],
+                             out_k.shape[-1]))
+    q = {}
+    q["wqkv_q"], q["wqkv_s"] = quantize_weight_nd(wqkv)
+    q["out_q"], q["out_s"] = quantize_weight_nd(out_k)
+    q["fc1_q"], q["fc1_s"] = quantize_weight_nd(bp["fc1"]["kernel"])
+    q["fc2_q"], q["fc2_s"] = quantize_weight_nd(bp["fc2"]["kernel"])
+    return q
+
+
+def quantize_serving_params(params) -> dict:
+    """Build the "qparams" collection: pre-quantized int8 weights for every
+    PreLNBlock in the tree, at the block's module path.
+
+    Quantizing in-graph per forward re-reads every fp32 kernel each diffusion
+    step (~2.3GB/step at the 0.6B flagship); passing this collection to
+    ``model.apply({"params": p, "qparams": q}, ...)`` hoists the quantization
+    out of the sampling scan so XLA runs it once per pipeline call."""
+    if _is_preln_block(params):
+        return _quantize_preln_block(params)
+    if isinstance(params, dict):
+        out = {}
+        for k, v in params.items():
+            sub = quantize_serving_params(v)
+            if sub:
+                out[k] = sub
+        return out
+    return {}
+
+
 class Int8Dense(nn.Module):
     """Dense whose matmul runs int8; params stored fp32 and quantized in-graph
     (XLA folds the weight quantization into a constant at serving time)."""

@@ -60,18 +60,29 @@ class NOVAPointCloudGenerationPipeline:
         sched = scheduler.set_timesteps(steps)
         ts = jnp.asarray(sched.timesteps, jnp.int32)
         nb = batch * (2 if use_cfg else 1)
+        prequantize = (getattr(model, "quantize", False)
+                       and jax.default_backend() == "tpu")
 
         def sample(params, ar_params, text_raw, guidance_scale, key):
             k_init, k_loop, k_post, k_col, k_ar = jax.random.split(key, 5)
             x = jax.random.normal(k_init, (batch, num_points, 3), jnp.float32)
             x = x * scheduler.init_noise_sigma
 
+            variables = {"params": params}
+            if prequantize:
+                # int8 weights once per call, OUTSIDE the diffusion scan —
+                # in-graph quantization would re-read every fp32 kernel each
+                # step (ops/quantization.quantize_serving_params docstring)
+                from nova_pointcloud_tpu.ops.quantization import (
+                    quantize_serving_params)
+                variables["qparams"] = quantize_serving_params(params)
+
             def body(carry, j):
                 x, key = carry
                 key, kd = jax.random.split(key)
                 t = ts[j]
                 x_in = jnp.concatenate([x, x], axis=0) if use_cfg else x
-                pred = model.apply({"params": params}, x_in,
+                pred = model.apply(variables, x_in,
                                    jnp.full((nb,), t), text_raw)
                 if use_cfg:
                     uncond, cond = jnp.split(pred, 2, axis=0)

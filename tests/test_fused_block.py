@@ -78,6 +78,28 @@ def test_int8_matmul_residual_matches_xla_int8():
                                atol=2e-2, rtol=2e-2)
 
 
+def test_preln_block_prequantized_matches_ingraph(monkeypatch):
+    """Serving with the precomputed "qparams" collection == quantizing
+    in-graph (same int8 math, hoisted out of the sampling scan)."""
+    from nova_pointcloud_tpu.ops.quantization import quantize_serving_params
+
+    key = jax.random.PRNGKey(4)
+    blk = PreLNBlock(dim=128, num_heads=4, dropout=0.0, quantize=True)
+    x = jax.random.normal(key, (2, 32, 128), jnp.float32) * 0.3
+    params = blk.init(key, x)["params"]
+    qp = quantize_serving_params(params)
+    assert set(qp) == {"wqkv_q", "wqkv_s", "out_q", "out_s",
+                       "fc1_q", "fc1_s", "fc2_q", "fc2_s"}
+
+    import nova_pointcloud_tpu.models.pointcloud as pc_mod
+    monkeypatch.setattr(pc_mod.jax, "default_backend", lambda: "tpu")
+    with pltpu.force_tpu_interpret_mode():
+        ref = blk.apply({"params": params}, x)
+        out = blk.apply({"params": params, "qparams": qp}, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_preln_block_fused_path_matches_xla(monkeypatch):
     """The quantize=True serving path (fused Pallas kernels, incl. int8
     attention projections) tracks the XLA int8-MLP/bf16-attention path with
