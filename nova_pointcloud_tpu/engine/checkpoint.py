@@ -45,7 +45,19 @@ class CheckpointManager:
         step = self.latest_step() if step is None else step
         if step is None:
             return None
-        restored = self.checkpointer.restore(self._path(step), template)
+        path = self._path(step)
+        try:
+            restored = self.checkpointer.restore(path, template)
+        except Exception:
+            if template is None:
+                raise
+            # template is a subtree of the saved state (e.g. a sampler
+            # restoring only params from a trainer checkpoint that also
+            # carries opt_state/EMA): partial restore of just those leaves
+            with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
+                restored = ckptr.restore(
+                    path, args=ocp.args.PyTreeRestore(
+                        item=template, partial_restore=True))
         return {"step": step, "state": restored}
 
     def _cleanup(self):
