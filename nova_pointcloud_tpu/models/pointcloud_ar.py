@@ -132,6 +132,12 @@ class NOVAPointCloudARTransformer(nn.Module):
             cond = self.embed_text(text_embeds, drop_rng)
         mask, _ = masking.sample_train_mask(self.make_rng("mask"), b,
                                             self.num_tokens)
+        # Masked patches must contribute the same coords the sampler's canvas
+        # does (zeros) — otherwise the ClusterBlock summary leaks the full
+        # ground-truth shape at train time and the encoder sees an input
+        # distribution at sampling it was never trained on.
+        coords = coords * (1.0 - mask)
+        self.sow("intermediates", "train_mask", mask)
         z = self.encode_step(tokens, mask, cond, coords)
 
         rep = self.loss_repeat

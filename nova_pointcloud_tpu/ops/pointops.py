@@ -146,3 +146,39 @@ def dynamic_partition(key: jax.Array, num_points: int,
     subset_ids = perm.reshape(k, num_points // k)
     order = jax.random.permutation(key_o, k).astype(jnp.int32)
     return order, subset_ids
+
+
+def morton_codes(points: jax.Array, bits: int = 10) -> jax.Array:
+    """Z-order (Morton) codes for (…, N, 3) points in [-1, 1].
+
+    Quantizes each axis to ``bits`` bits and interleaves them into one
+    integer key whose ordering groups spatially nearby points. Pure bitwise
+    jnp — jittable, static shapes, runs on the VPU.
+    """
+    q = jnp.clip((points + 1.0) * 0.5, 0.0, 1.0)
+    q = (q * ((1 << bits) - 1)).astype(jnp.uint32)
+
+    def spread(v: jax.Array) -> jax.Array:
+        # insert two zero bits between each of the low `bits` bits
+        out = jnp.zeros_like(v)
+        for i in range(bits):
+            out = out | (((v >> i) & 1) << (3 * i))
+        return out
+
+    x, y, z = q[..., 0], q[..., 1], q[..., 2]
+    return (spread(x) | (spread(y) << 1) | (spread(z) << 2)).astype(jnp.uint32)
+
+
+def morton_sort(points: jax.Array, bits: int = 10) -> jax.Array:
+    """Sort (…, N, 3) points along N by Morton code.
+
+    Token patchification is a plain reshape (`models/pointcloud_ar.py`); on
+    randomly-ordered clouds that makes each patch a random global subset.
+    Sorting by z-order first makes every patch a spatially compact group, so
+    masked-AR over patch tokens reasons about local geometry — the intent of
+    the reference's patch variant (`transformer_pointcloud_nova.py:305-328`).
+    CD/EMD are order-invariant, so sorting never changes eval semantics.
+    """
+    codes = morton_codes(points, bits)
+    order = jnp.argsort(codes, axis=-1)
+    return jnp.take_along_axis(points, order[..., None], axis=-2)

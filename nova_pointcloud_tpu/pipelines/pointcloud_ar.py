@@ -94,6 +94,9 @@ class NOVAPointCloudARPipeline:
 
                 (x_t, _), _ = jax.lax.scan(diff_body, (x_t, k_diff),
                                            jnp.arange(diff_steps))
+                # Canvas values feed the next AR step's encoder; training data
+                # is clamped to [-1, 1], so keep generated patches in range.
+                x_t = jnp.clip(x_t, -1.0, 1.0)
                 pred_mask = masking.scatter_mask(ids, valid, nt)
                 onehot = jax.nn.one_hot(ids, nt, dtype=jnp.float32)
                 scattered = jnp.einsum("bpn,bpd->bnd", onehot * valid[..., None],

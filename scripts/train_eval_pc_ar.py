@@ -17,7 +17,7 @@ def main():
     ap.add_argument("--max-points", type=int, default=1024)
     ap.add_argument("--patch-size", type=int, default=16)
     ap.add_argument("--batch-size", type=int, default=32)
-    ap.add_argument("--max-steps", type=int, default=3000)
+    ap.add_argument("--max-steps", type=int, default=4000)
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--stats", default="output/pc_r2/stats.json")
     ap.add_argument("--out", default="results/pc_ar_quality_r2.json")
@@ -76,11 +76,18 @@ def main():
 
     shapes = make_synthetic_clouds(64, args.max_points, args.seed)
 
+    from nova_pointcloud_tpu.ops.pointops import morton_sort
+
+    sort_fn = jax.jit(morton_sort, backend="cpu")
+
     def data():
         for batch in make_batches(shapes, args.batch_size, args.max_points,
                                   args.seed):
             pts = np.clip(normalizer.normalize(batch["points"]),
                           -1.0, 1.0).astype(np.float32)  # `train_newloss.py:919`
+            # z-order sort so each 16-point patch token is a spatially
+            # compact group (CD/EMD are order-invariant; see morton_sort)
+            pts = np.asarray(sort_fn(pts))
             emb, _ = text_encoder.encode(batch["prompts"])
             yield {"points": pts, "text_embeds": emb}
 

@@ -83,3 +83,79 @@ def test_trained_tiny_model_beats_noise_on_cd():
     assert trained["chamfer"] < CD_IMPROVEMENT * baseline["chamfer"], (
         f"trained CD {trained['chamfer']:.4f} vs noise "
         f"{baseline['chamfer']:.4f}")
+
+
+def test_trained_tiny_masked_ar_beats_noise_on_cd():
+    """Same guard for the masked-AR path (leak regression would fail this:
+    with the round-2 cluster-coords leak, this model trains to low loss but
+    samples at noise level)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from nova_pointcloud_tpu.data.shapenet import (GlobalNormalizer,
+                                                   make_batches,
+                                                   make_synthetic_clouds)
+    from nova_pointcloud_tpu.engine.trainer import Trainer
+    from nova_pointcloud_tpu.evaluation.pointcloud_eval import evaluate_batch
+    from nova_pointcloud_tpu.models.pointcloud_ar import (
+        NOVAPointCloudARTransformer)
+    from nova_pointcloud_tpu.models.text_encoders.dummy import DummyTextEncoder
+    from nova_pointcloud_tpu.ops.pointops import morton_sort
+    from nova_pointcloud_tpu.pipelines.pointcloud_ar import (
+        NOVAPointCloudARPipeline)
+    from nova_pointcloud_tpu.schedulers import DDPMScheduler
+
+    n_pts, steps = 128, 400
+    shapes = make_synthetic_clouds(32, n_pts, seed=0)
+    normalizer = GlobalNormalizer().fit([s["points"] for s in shapes])
+    text_encoder = DummyTextEncoder(64, 8)
+    scheduler = DDPMScheduler(beta_schedule="squaredcos_cap_v2")
+    model = NOVAPointCloudARTransformer(
+        arch="pc_d2w64", point_cloud_size=n_pts, patch_size=8,
+        text_token_dim=64, text_token_len=8, noise_scheduler=scheduler)
+    rngs = {n: jax.random.PRNGKey(i) for i, n in
+            enumerate(("params", "mask", "time", "noise", "dropout"))}
+    params = jax.jit(model.init)(rngs, jnp.zeros((2, n_pts, 3)),
+                                 jnp.zeros((2, 8, 64)))["params"]
+
+    def loss_fn(p, batch, key):
+        ks = jax.random.split(key, 4)
+        r = dict(zip(("mask", "time", "noise", "dropout"), ks))
+        out = model.apply({"params": p}, batch["points"],
+                          batch["text_embeds"], rngs=r)
+        return out["loss"], out
+
+    trainer = Trainer(loss_fn, params, optax.adamw(2e-3), output_dir=None,
+                      max_steps=steps, log_every=1000, save_every=0,
+                      ema_decay=None, seed=0)
+    sort_fn = jax.jit(morton_sort)
+
+    def data():
+        for b in make_batches(shapes, 16, n_pts, seed=0):
+            pts = np.clip(normalizer.normalize(b["points"]),
+                          -1, 1).astype(np.float32)
+            yield {"points": np.asarray(sort_fn(pts)),
+                   "text_embeds": text_encoder.encode(b["prompts"])[0]}
+
+    trainer.train(data(), steps)
+
+    pipe = NOVAPointCloudARPipeline(model, trainer.params, scheduler,
+                                    text_encoder=text_encoder)
+    refs_shapes = make_synthetic_clouds(8, n_pts, seed=9)
+    refs = np.clip(normalizer.normalize(
+        np.stack([s["points"] for s in refs_shapes])), -1, 1).astype(np.float32)
+    out = pipe([s["prompt"] for s in refs_shapes], num_inference_steps=8,
+               num_diffusion_steps=25, guidance_scale=2.0,
+               key=jax.random.PRNGKey(3))
+    trained = evaluate_batch(np.asarray(out.point_clouds), refs,
+                             max_emd_points=128)
+
+    noise = np.clip(np.random.RandomState(0).randn(*refs.shape),
+                    -2, 2).astype(np.float32)
+    baseline = evaluate_batch(noise, refs, max_emd_points=128)
+
+    assert np.isfinite(trained["chamfer"])
+    assert trained["chamfer"] < CD_IMPROVEMENT * baseline["chamfer"], (
+        f"trained masked-AR CD {trained['chamfer']:.4f} vs noise "
+        f"{baseline['chamfer']:.4f}")

@@ -77,3 +77,39 @@ def test_masked_ar_generation_ddpm():
                guidance_scale=1.0, key=jax.random.PRNGKey(0))
     assert out.point_clouds.shape == (1, N, 3)
     assert np.all(np.isfinite(out.point_clouds))
+
+
+def test_no_ground_truth_leak_through_cluster_summary():
+    """Regression: training conditioning must not read masked-patch coords.
+
+    Round-2 bug: the ClusterBlock summary was fed ground-truth patch centers
+    for ALL patches (incl. masked ones), so the encoder learned to read shape
+    identity from leaked geometry and ignored the text prompt; sampling (where
+    masked patches have zero coords) then scored at noise level. Contract:
+    every train-time conditioning intermediate is invariant to the coordinates
+    of patches the mask marks as predicted.
+    """
+    model, params = make_model()
+    rngs = {"mask": jax.random.PRNGKey(5), "time": jax.random.PRNGKey(6),
+            "noise": jax.random.PRNGKey(7)}
+    pts = jax.random.uniform(jax.random.PRNGKey(8), (2, N, 3),
+                             minval=-1, maxval=1)
+    text = jax.random.normal(jax.random.PRNGKey(9), (2, 8, 32))
+
+    def run(points):
+        _, inter = model.apply({"params": params}, points, text, rngs=rngs,
+                               capture_intermediates=True)
+        return inter["intermediates"]
+
+    i1 = run(pts)
+    mask = np.asarray(i1["train_mask"][0])  # (B, T, 1), 1 = masked
+    # displace every point belonging to a masked patch
+    patch_mask = np.repeat(mask[:, :, 0], model.patch_size, axis=1)[..., None]
+    pts2 = jnp.asarray(np.asarray(pts) + 0.37 * patch_mask)
+    i2 = run(pts2)
+    c1 = np.asarray(i1["cluster"]["__call__"][0])
+    c2 = np.asarray(i2["cluster"]["__call__"][0])
+    assert np.allclose(c1, c2, atol=1e-6), (
+        "cluster summary changed when only masked-patch coords moved")
+    # sanity: the mask realization itself is rng-determined, not input-driven
+    assert np.allclose(mask, np.asarray(i2["train_mask"][0]))

@@ -110,3 +110,32 @@ class TestLosses:
         out = losses.composite_pointcloud_loss(pred, tgt, pred, tgt, subset_ids)
         for k in ("loss", "loss_diffusion", "loss_chamfer", "loss_emd", "loss_ar"):
             assert k in out and np.isfinite(float(out[k]))
+
+
+class TestMortonSort:
+    def test_permutation_of_input(self):
+        from nova_pointcloud_tpu.ops.pointops import morton_sort
+
+        pts = jax.random.uniform(jax.random.PRNGKey(0), (2, 256, 3),
+                                 minval=-1, maxval=1)
+        s = morton_sort(pts)
+        assert np.allclose(np.sort(np.asarray(pts).reshape(2, -1), axis=1),
+                           np.sort(np.asarray(s).reshape(2, -1), axis=1))
+
+    def test_improves_patch_locality(self):
+        from nova_pointcloud_tpu.ops.pointops import morton_sort
+
+        pts = jax.random.uniform(jax.random.PRNGKey(1), (2, 512, 3),
+                                 minval=-1, maxval=1)
+        s = np.asarray(morton_sort(pts)).reshape(2, 32, 16, 3)
+        r = np.asarray(pts).reshape(2, 32, 16, 3)
+        assert s.std(axis=2).mean() < 0.5 * r.std(axis=2).mean()
+
+    def test_jits_and_is_idempotent(self):
+        from nova_pointcloud_tpu.ops.pointops import morton_sort
+
+        pts = jax.random.uniform(jax.random.PRNGKey(2), (1, 128, 3),
+                                 minval=-1, maxval=1)
+        s1 = jax.jit(morton_sort)(pts)
+        s2 = morton_sort(s1)
+        assert np.allclose(np.asarray(s1), np.asarray(s2))
