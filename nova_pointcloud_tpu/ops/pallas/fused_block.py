@@ -241,3 +241,93 @@ def int8_matmul_residual(x: jax.Array, residual: jax.Array, wq: jax.Array,
     if pad:
         out = out[:m]
     return out.reshape(residual.shape)
+
+
+def _attn_block_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, sqkv_ref, bqkv_ref,
+                       wo_ref, so_ref, bo_ref, o_ref, *, num_heads):
+    x = x_ref[0].astype(jnp.float32)  # (T, D)
+    t, d = x.shape
+    hd = d // num_heads
+    h = _ln(x, lns_ref[0].astype(jnp.float32), lnb_ref[0].astype(jnp.float32))
+    q8, sx = _quant_rows(h)
+    qkv = jax.lax.dot_general(q8, wqkv_ref[...], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    qkv = qkv.astype(jnp.float32) * sx * sqkv_ref[0] + bqkv_ref[0]  # (T, 3D)
+    scale = hd ** -0.5
+    heads_out = []
+    for i in range(num_heads):
+        qh = jax.lax.slice(qkv, (0, i * hd), (t, (i + 1) * hd))
+        kh = jax.lax.slice(qkv, (0, d + i * hd), (t, d + (i + 1) * hd))
+        vh = jax.lax.slice(qkv, (0, 2 * d + i * hd), (t, 2 * d + (i + 1) * hd))
+        s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        p = jax.nn.softmax(s, axis=-1)
+        heads_out.append(jax.lax.dot_general(
+            p, vh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    av = jnp.concatenate(heads_out, axis=-1)  # (T, D)
+    q8o, sxo = _quant_rows(av)
+    o = jax.lax.dot_general(q8o, wo_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    o = o.astype(jnp.float32) * sxo * so_ref[0] + bo_ref[0]
+    o_ref[0] = (x + o).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads",))
+def fused_attention_block(x: jax.Array, ln_scale: jax.Array,
+                          ln_bias: jax.Array, wqkv_q: jax.Array,
+                          wqkv_s: jax.Array, bqkv: jax.Array,
+                          wo_q: jax.Array, wo_s: jax.Array, bo: jax.Array,
+                          num_heads: int) -> jax.Array:
+    """The entire PreLN attention sub-block as ONE VMEM-resident kernel:
+
+        y = x + W_o q8(softmax(q k^T / sqrt(hd)) v) + b_o,
+        with (q|k|v) = q8(LN(x)) @ Wqkv_int8 * scales + b_qkv
+
+    vs the previous serving path (fused LN+QKV kernel -> XLA attention core
+    -> fused out-proj kernel), this removes the (B, T, 3D) qkv and (B, T, D)
+    attention-output HBM round trips entirely — at flagship shapes
+    (B=128, T=128, D=1024, 48 layers) that is ~0.27GB of traffic per layer
+    pass. Grid is one program per sample; weights stay VMEM-resident across
+    the grid. Per-head slicing is static (lane offsets multiple of hd).
+
+    x: (B, T, D); wqkv_q (D, 3D) int8 + per-channel scales wqkv_s (3D,);
+    wo_q (D, D) int8 + wo_s (D,). Serving/forward only.
+    """
+    b, t, d = x.shape
+
+    def row2(a):
+        return a.astype(jnp.float32).reshape(1, -1)
+
+    kernel = functools.partial(_attn_block_kernel, num_heads=num_heads)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, t, d), x.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((1, t, d), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, 3 * d), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3 * d), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3 * d), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, d), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, t, d), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * t * d * 4 * d + 4 * b * t * t * d,
+            bytes_accessed=2 * b * t * d * 2 + 4 * d * d,
+            transcendentals=b * t * t,
+        ),
+    )(x, row2(ln_scale), row2(ln_bias), wqkv_q, row2(wqkv_s), row2(bqkv),
+      wo_q, row2(wo_s), row2(bo))

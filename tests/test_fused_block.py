@@ -121,3 +121,40 @@ def test_preln_block_fused_path_matches_xla(monkeypatch):
     scale = np.abs(np.asarray(ref)).mean()
     assert err.mean() / scale < 2e-2, (err.mean(), scale)
     assert err.max() / scale < 2e-1, (err.max(), scale)
+
+
+def test_fused_attention_block_matches_split_path():
+    """One-kernel attention sub-block == (LN+QKV kernel, XLA core, out-proj
+    kernel). Internal f32 scores/softmax vs the split path's bf16 softmax
+    give a small expected delta; both quantize activations per-row."""
+    from nova_pointcloud_tpu.ops.pallas.fused_block import fused_attention_block
+
+    B, T, D, H = 2, 64, 256, 4
+    key = jax.random.PRNGKey(7)
+    ks = jax.random.split(key, 6)
+    x = (jax.random.normal(ks[0], (B, T, D), jnp.float32) * 0.3
+         ).astype(jnp.bfloat16)
+    lns = jax.random.normal(ks[1], (D,)) * 0.1 + 1.0
+    lnb = jax.random.normal(ks[2], (D,)) * 0.1
+    qkv_w = quantize_weight(jax.random.normal(ks[3], (D, 3 * D)) * 0.05)
+    bqkv = jax.random.normal(ks[4], (3 * D,)) * 0.01
+    out_w = quantize_weight(jax.random.normal(ks[5], (D, D)) * 0.05)
+    bo = jax.random.normal(ks[5], (D,)) * 0.01
+
+    with pltpu.force_tpu_interpret_mode():
+        qkv = fused_ln_int8_matmul(x, lns, lnb, qkv_w.values, qkv_w.scales,
+                                   bqkv, block_m=64)
+        hd = D // H
+        q, k, v = [a.reshape(B, T, H, hd) for a in jnp.split(qkv, 3, axis=-1)]
+        q = q * (hd ** -0.5)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k)
+        probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        av = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, T, D)
+        ref = int8_matmul_residual(av, x, out_w.values, out_w.scales, bo,
+                                   block_m=64)
+        out = fused_attention_block(x, lns, lnb, qkv_w.values, qkv_w.scales,
+                                    bqkv, out_w.values, out_w.scales, bo,
+                                    num_heads=H)
+    err = np.abs(np.asarray(out, np.float32) - np.asarray(ref, np.float32))
+    scale = np.abs(np.asarray(ref, np.float32)).mean()
+    assert err.mean() / scale < 2e-2, (err.mean(), scale)
