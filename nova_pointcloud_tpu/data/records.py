@@ -276,14 +276,16 @@ class FeatureDataLoader:
 
     def shutdown(self):
         self._stop.set()
-        if self._pool is not None:
-            self._pool.shutdown(wait=False)
         try:
             while True:
                 self._queue.get_nowait()
         except queue.Empty:
             pass
-        self._thread.join(timeout=2)
+        # join the batcher thread BEFORE tearing down the decode pool — it
+        # may be mid-`pool.map`, and submitting to a shut-down executor raises
+        self._thread.join(timeout=5)
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
         self.reader.close()
 
 

@@ -158,10 +158,12 @@ class PreLNBlock(nn.Module):
         flax MHA param tree is unchanged, so bf16 checkpoints serve through
         this path with no conversion."""
         from nova_pointcloud_tpu.ops.pallas.fused_block import (
-            fused_attention_block)
+            attention_block_vmem_bytes, fused_attention_block,
+            fused_ln_int8_matmul, int8_matmul_residual)
         from nova_pointcloud_tpu.ops.quantization import quantize_weight
 
         d = self.dim
+        heads = self.num_heads
         lnp = self.norm1.variables["params"]
         ap = self.attn.variables["params"]
         bqkv = jnp.concatenate(
@@ -177,10 +179,27 @@ class PreLNBlock(nn.Module):
                  for k in ("query", "key", "value")], axis=1)  # (D, 3D)
             wqkv_q, wqkv_s = quantize_weight(wqkv)
             out_q, out_s = quantize_weight(ap["out"]["kernel"].reshape(d, d))
-        return fused_attention_block(x, lnp["scale"], lnp["bias"],
-                                     wqkv_q, wqkv_s, bqkv, out_q, out_s,
-                                     ap["out"]["bias"].reshape(d),
-                                     num_heads=self.num_heads)
+        t = x.shape[-2]
+        if attention_block_vmem_bytes(t, d) <= 14 * 2**20:
+            return fused_attention_block(x, lnp["scale"], lnp["bias"],
+                                         wqkv_q, wqkv_s, bqkv, out_q, out_s,
+                                         ap["out"]["bias"].reshape(d),
+                                         num_heads=heads)
+        # long sequences (e.g. per-point tokens): the one-kernel sub-block
+        # would overflow VMEM; use the split serving path (LN+QKV kernel,
+        # XLA attention core with bf16 softmax, out-proj+residual kernel)
+        qkv = fused_ln_int8_matmul(x, lnp["scale"], lnp["bias"],
+                                   wqkv_q, wqkv_s, bqkv)  # (B, T, 3D)
+        b, t, _ = qkv.shape
+        hd = d // heads
+        q, k, v = [a.reshape(b, t, heads, hd)
+                   for a in jnp.split(qkv, 3, axis=-1)]
+        q = q * (hd ** -0.5)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k)
+        probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        av = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, t, d)
+        return int8_matmul_residual(av, x, out_q, out_s,
+                                    ap["out"]["bias"].reshape(d))
 
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         use_fused = (self.quantize and deterministic
