@@ -71,7 +71,8 @@ def stage_param_sharding(stacked_params, mesh: Mesh, axis: str = "pipe"):
 
 
 def pipelined_apply(block_apply: Callable, stage_params, x, *,
-                    num_stages: int, axis: str = "pipe"):
+                    num_stages: int, axis: str = "pipe",
+                    remat: bool = False):
     """Run the GPipe schedule inside ``shard_map``.
 
     block_apply(layer_params, h) -> h applies ONE block (layer_params = one
@@ -79,16 +80,23 @@ def pipelined_apply(block_apply: Callable, stage_params, x, *,
     (1, L/S, ...) tree (leading stage axis stripped here). x: (M, mb, T, D)
     microbatches, replicated over ``axis``. Returns (M, mb, T, D), identical
     on every pipe member.
+
+    remat=True checkpoints each block inside the stage scan, so training at
+    flagship depth keeps only the per-block stage-boundary activations live
+    (the per-layer intermediates are recomputed in the backward pass) —
+    without it, grad-of-pipeline stores every layer's activations for every
+    in-flight microbatch.
     """
     local = jax.tree.map(lambda p: p[0], stage_params)  # (L/S, ...)
     s = jax.lax.axis_index(axis)
     num_micro = x.shape[0]
     ticks = num_micro + num_stages - 1
     perm = [(i, (i + 1) % num_stages) for i in range(num_stages)]
+    apply_one = jax.checkpoint(block_apply) if remat else block_apply
 
     def stage_fn(h):
         def body(h, layer_params):
-            return block_apply(layer_params, h), None
+            return apply_one(layer_params, h), None
 
         h, _ = jax.lax.scan(body, h, local)
         return h
@@ -121,12 +129,16 @@ def pipelined_apply(block_apply: Callable, stage_params, x, *,
 
 
 def make_pipelined_apply(block_apply: Callable, num_stages: int, mesh: Mesh,
-                         axis: str = "pipe", data_axis: str = None):
+                         axis: str = "pipe", data_axis: str = None,
+                         remat: bool = False):
     """shard_map-wrapped GPipe runner over full arrays.
 
     Returns run(stacked_params, x): stacked_params (S, L/S, ...) sharded on
     ``axis``; x (M, mb, T, D) microbatches, optionally sharded on
-    ``data_axis`` over mb. Differentiable in both arguments.
+    ``data_axis`` over mb. Differentiable in both arguments. ``remat``
+    checkpoints per-block activations for flagship-depth training (see
+    pipelined_apply). TP composes by closing a shard_map'd/sharded-matmul
+    block_apply over a "tensor" mesh axis orthogonal to ``axis``.
     """
     x_spec = P(None, data_axis, None, None)
 
@@ -135,7 +147,7 @@ def make_pipelined_apply(block_apply: Callable, num_stages: int, mesh: Mesh,
             lambda p: P(*([axis] + [None] * (p.ndim - 1))), stacked_params)
         fn = shard_map(
             partial(pipelined_apply, block_apply, num_stages=num_stages,
-                    axis=axis),
+                    axis=axis, remat=remat),
             mesh=mesh, in_specs=(p_specs, x_spec), out_specs=x_spec)
         return fn(stacked_params, x)
 

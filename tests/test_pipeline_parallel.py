@@ -127,3 +127,79 @@ def test_pp_dp_train_step():
         losses.append(float(loss))
     assert losses[-1] < losses[0], losses
     assert all(np.isfinite(l) for l in losses)
+
+
+def test_pipelined_remat_grads_match():
+    """remat=True recomputes in backward; values and grads must be identical
+    to the non-remat pipeline (flagship-depth training memory mode)."""
+    stack, params, block_params, block_apply, x = _setup()
+    mesh = create_mesh({"pipe": STAGES, "data": 2})
+    run = make_pipelined_apply(block_apply, STAGES, mesh, axis="pipe",
+                               data_axis="data")
+    run_r = make_pipelined_apply(block_apply, STAGES, mesh, axis="pipe",
+                                 data_axis="data", remat=True)
+
+    def loss(runner, bp):
+        out = runner(stack_stage_params(bp, STAGES),
+                     split_microbatches(x, MICRO))
+        return jnp.mean(out ** 2)
+
+    v1, g1 = jax.value_and_grad(lambda bp: loss(run, bp))(block_params)
+    v2, g2 = jax.value_and_grad(lambda bp: loss(run_r, bp))(block_params)
+    np.testing.assert_allclose(float(v2), float(v1), rtol=1e-6)
+    jax.tree_util.tree_map_with_path(
+        lambda path, a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-5,
+            err_msg=str(path)),
+        g2, g1)
+
+
+def test_pp_tp_composition():
+    """PP (ppermute ring over "pipe") composes with in-stage TP (Megatron
+    MLP split over "tensor": column-parallel W1, row-parallel W2, psum).
+    Forward and grads must match the unsharded sequential stack."""
+    from functools import partial
+
+    from nova_pointcloud_tpu.parallel.pipeline import (pipelined_apply,
+                                                       shard_map)
+
+    depth, dim, hidden, stages = 4, 16, 32, 2
+    mesh = create_mesh({"pipe": stages, "tensor": 2},
+                       devices=jax.devices()[:4])
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    w1 = jax.random.normal(ks[0], (depth, dim, hidden)) * 0.3
+    w2 = jax.random.normal(ks[1], (depth, hidden, dim)) * 0.3
+    x = jax.random.normal(ks[2], (4, 8, dim))
+    params = {"w1": w1, "w2": w2}
+
+    def ref_loss(p):
+        h = x
+        for i in range(depth):
+            h = h + jnp.maximum(h @ p["w1"][i], 0) @ p["w2"][i]
+        return jnp.mean(h ** 2)
+
+    def block_apply(p, h):  # p holds the LOCAL tensor shards
+        a = jnp.maximum(h @ p["w1"], 0)
+        return h + jax.lax.psum(a @ p["w2"], "tensor")
+
+    p_specs = {"w1": P("pipe", None, None, "tensor"),
+               "w2": P("pipe", None, "tensor", None)}
+    x_spec = P(None, None, None, None)
+    fn = shard_map(
+        partial(pipelined_apply, block_apply, num_stages=stages,
+                axis="pipe"),
+        mesh=mesh, in_specs=(p_specs, x_spec), out_specs=x_spec)
+
+    def pp_loss(p):
+        stacked = stack_stage_params(p, stages)
+        out = fn(stacked, split_microbatches(x, 2))
+        return jnp.mean(merge_microbatches(out) ** 2)
+
+    ref_v, ref_g = jax.value_and_grad(ref_loss)(params)
+    pp_v, pp_g = jax.value_and_grad(pp_loss)(params)
+    np.testing.assert_allclose(float(pp_v), float(ref_v), rtol=1e-6)
+    jax.tree_util.tree_map_with_path(
+        lambda path, a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4,
+            err_msg=str(path)),
+        pp_g, ref_g)
