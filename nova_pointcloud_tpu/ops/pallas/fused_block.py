@@ -14,12 +14,17 @@ Replaces the reference's per-op eager torch path
 only (forward); training uses the XLA path. Weight layout matches
 ops/quantization.quantize_weight (per-output-channel symmetric int8).
 
-Attention projections (the other half of the block's matmul FLOPs) get the
-same treatment via `fused_ln_int8_matmul` (LN -> q8 -> one (D, 3D) QKV
-matmul) and `int8_matmul_residual` (out-projection + residual). The head
-split happens OUTSIDE the kernel in XLA: an earlier attempt to fuse the
-(N, 3D) -> (N, 3, H, hd) reshape inside the kernel failed to lower in
-Mosaic, but emitting (N, 3D) and reshaping in the caller is free.
+The attention sub-block has two serving forms:
+- `fused_attention_block`: the ENTIRE sub-block (LN -> int8 QKV -> per-head
+  softmax(qk^T)v via static lane slices -> int8 out-proj -> residual) as one
+  VMEM-resident kernel — the default whenever the per-program footprint fits
+  (attention_block_vmem_bytes), e.g. the patched flagship at T=128.
+- the split path (`fused_ln_int8_matmul` QKV kernel -> XLA attention core ->
+  `int8_matmul_residual`) for long sequences (per-point tokens, T>=1024)
+  where scores/qkv would overflow VMEM.
+A whole-layer kernel (attention+MLP in one) was measured SLOWER than the
+two-kernel split at flagship shapes (110 vs 105 ms/48-layer pass): 12MB of
+resident int8 weights leaves too little VMEM for input/output pipelining.
 """
 
 import functools
@@ -245,32 +250,37 @@ def int8_matmul_residual(x: jax.Array, residual: jax.Array, wq: jax.Array,
 
 def _attn_block_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, sqkv_ref, bqkv_ref,
                        wo_ref, so_ref, bo_ref, o_ref, *, num_heads):
-    x = x_ref[0].astype(jnp.float32)  # (T, D)
-    t, d = x.shape
+    sb, t, d = x_ref.shape  # sb samples per program
     hd = d // num_heads
+    x = x_ref[...].astype(jnp.float32).reshape(sb * t, d)
     h = _ln(x, lns_ref[0].astype(jnp.float32), lnb_ref[0].astype(jnp.float32))
     q8, sx = _quant_rows(h)
     qkv = jax.lax.dot_general(q8, wqkv_ref[...], (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)
-    qkv = qkv.astype(jnp.float32) * sx * sqkv_ref[0] + bqkv_ref[0]  # (T, 3D)
+    qkv = qkv.astype(jnp.float32) * sx * sqkv_ref[0] + bqkv_ref[0]  # (sb*T, 3D)
     scale = hd ** -0.5
-    heads_out = []
-    for i in range(num_heads):
-        qh = jax.lax.slice(qkv, (0, i * hd), (t, (i + 1) * hd))
-        kh = jax.lax.slice(qkv, (0, d + i * hd), (t, d + (i + 1) * hd))
-        vh = jax.lax.slice(qkv, (0, 2 * d + i * hd), (t, 2 * d + (i + 1) * hd))
-        s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        p = jax.nn.softmax(s, axis=-1)
-        heads_out.append(jax.lax.dot_general(
-            p, vh, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32))
-    av = jnp.concatenate(heads_out, axis=-1)  # (T, D)
+    outs = []
+    for b in range(sb):
+        qkv_b = jax.lax.slice(qkv, (b * t, 0), ((b + 1) * t, 3 * d))
+        heads_out = []
+        for i in range(num_heads):
+            qh = jax.lax.slice(qkv_b, (0, i * hd), (t, (i + 1) * hd))
+            kh = jax.lax.slice(qkv_b, (0, d + i * hd), (t, d + (i + 1) * hd))
+            vh = jax.lax.slice(qkv_b, (0, 2 * d + i * hd),
+                               (t, 2 * d + (i + 1) * hd))
+            s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32) * scale
+            p = jax.nn.softmax(s, axis=-1)
+            heads_out.append(jax.lax.dot_general(
+                p, vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        outs.append(jnp.concatenate(heads_out, axis=-1))
+    av = jnp.concatenate(outs, axis=0)  # (sb*T, D)
     q8o, sxo = _quant_rows(av)
     o = jax.lax.dot_general(q8o, wo_ref[...], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.int32)
     o = o.astype(jnp.float32) * sxo * so_ref[0] + bo_ref[0]
-    o_ref[0] = (x + o).astype(o_ref.dtype)
+    o_ref[...] = (x + o).reshape(sb, t, d).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads",))
@@ -293,8 +303,14 @@ def fused_attention_block(x: jax.Array, ln_scale: jax.Array,
 
     x: (B, T, D); wqkv_q (D, 3D) int8 + per-channel scales wqkv_s (3D,);
     wo_q (D, D) int8 + wo_s (D,). Serving/forward only.
+
+    Two samples share one program when batch and VMEM allow (256-row
+    projection matmuls pipeline better on the MXU: measured ~8% faster on
+    the attention pass at flagship shapes, bitwise-identical output).
     """
     b, t, d = x.shape
+    sb = 2 if (b % 2 == 0
+               and attention_block_vmem_bytes(t, d, 2) <= 14 * 2**20) else 1
 
     def row2(a):
         return a.astype(jnp.float32).reshape(1, -1)
@@ -304,9 +320,9 @@ def fused_attention_block(x: jax.Array, ln_scale: jax.Array,
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, t, d), x.dtype),
         grid_spec=pl.GridSpec(
-            grid=(b,),
+            grid=(b // sb,),
             in_specs=[
-                pl.BlockSpec((1, t, d), lambda i: (i, 0, 0),
+                pl.BlockSpec((sb, t, d), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -321,7 +337,7 @@ def fused_attention_block(x: jax.Array, ln_scale: jax.Array,
                 pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, t, d), lambda i: (i, 0, 0),
+            out_specs=pl.BlockSpec((sb, t, d), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
         ),
         cost_estimate=pl.CostEstimate(
@@ -333,107 +349,17 @@ def fused_attention_block(x: jax.Array, ln_scale: jax.Array,
       wo_q, row2(wo_s), row2(bo))
 
 
-def _layer_kernel(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, sqkv_ref, bqkv_ref,
-                  wo_ref, so_ref, bo_ref, ln2s_ref, ln2b_ref,
-                  w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref, o_ref,
-                  *, num_heads):
-    x = x_ref[0].astype(jnp.float32)  # (T, D)
-    t, d = x.shape
-    hd = d // num_heads
-    # attention sub-block
-    h = _ln(x, ln1s_ref[0].astype(jnp.float32), ln1b_ref[0].astype(jnp.float32))
-    q8, sx = _quant_rows(h)
-    qkv = jax.lax.dot_general(q8, wqkv_ref[...], (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.int32)
-    qkv = qkv.astype(jnp.float32) * sx * sqkv_ref[0] + bqkv_ref[0]
-    scale = hd ** -0.5
-    heads_out = []
-    for i in range(num_heads):
-        qh = jax.lax.slice(qkv, (0, i * hd), (t, (i + 1) * hd))
-        kh = jax.lax.slice(qkv, (0, d + i * hd), (t, d + (i + 1) * hd))
-        vh = jax.lax.slice(qkv, (0, 2 * d + i * hd), (t, 2 * d + (i + 1) * hd))
-        s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        p = jax.nn.softmax(s, axis=-1)
-        heads_out.append(jax.lax.dot_general(
-            p, vh, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32))
-    av = jnp.concatenate(heads_out, axis=-1)
-    q8o, sxo = _quant_rows(av)
-    o = jax.lax.dot_general(q8o, wo_ref[...], (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.int32)
-    x = x + o.astype(jnp.float32) * sxo * so_ref[0] + bo_ref[0]
-    # MLP sub-block
-    h = _ln(x, ln2s_ref[0].astype(jnp.float32), ln2b_ref[0].astype(jnp.float32))
-    qm, sm = _quant_rows(h)
-    a = jax.lax.dot_general(qm, w1_ref[...], (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.int32)
-    a = jnp.maximum(a.astype(jnp.float32) * sm * s1_ref[0] + b1_ref[0], 0.0)
-    qm2, sm2 = _quant_rows(a)
-    o = jax.lax.dot_general(qm2, w2_ref[...], (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.int32)
-    o = o.astype(jnp.float32) * sm2 * s2_ref[0] + b2_ref[0]
-    o_ref[0] = (x + o).astype(o_ref.dtype)
-
-
-@functools.partial(jax.jit, static_argnames=("num_heads",))
-def fused_layer_block(x: jax.Array, ln1_scale, ln1_bias, wqkv_q, wqkv_s, bqkv,
-                      wo_q, wo_s, bo, ln2_scale, ln2_bias,
-                      w1q, s1, b1, w2q, s2, b2, num_heads: int) -> jax.Array:
-    """A full PreLN transformer layer (attention + MLP sub-blocks) as ONE
-    VMEM-resident kernel: x is read from HBM once and the layer output
-    written once per layer — no intermediate activation traffic at all.
-    Weight budget at D=1024, F=4096: 12MB int8 resident across the
-    per-sample grid (v5e VMEM ~16MB). Serving/forward only."""
-    b, t, d = x.shape
-    f = w1q.shape[1]
-
-    def row2(a):
-        return a.astype(jnp.float32).reshape(1, -1)
-
-    def const(shape):
-        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
-                            memory_space=pltpu.VMEM)
-
-    kernel = functools.partial(_layer_kernel, num_heads=num_heads)
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((b, t, d), x.dtype),
-        grid_spec=pl.GridSpec(
-            grid=(b,),
-            in_specs=[
-                pl.BlockSpec((1, t, d), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                const((1, d)), const((1, d)),
-                const((d, 3 * d)), const((1, 3 * d)), const((1, 3 * d)),
-                const((d, d)), const((1, d)), const((1, d)),
-                const((1, d)), const((1, d)),
-                const((d, f)), const((1, f)), const((1, f)),
-                const((f, d)), const((1, d)), const((1, d)),
-            ],
-            out_specs=pl.BlockSpec((1, t, d), lambda i: (i, 0, 0),
-                                   memory_space=pltpu.VMEM),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * b * t * d * (4 * d + 2 * f) + 4 * b * t * t * d,
-            bytes_accessed=2 * b * t * d * 2 + 4 * d * d + 2 * d * f,
-            transcendentals=b * t * t,
-        ),
-    )(x, row2(ln1_scale), row2(ln1_bias), wqkv_q, row2(wqkv_s), row2(bqkv),
-      wo_q, row2(wo_s), row2(bo), row2(ln2_scale), row2(ln2_bias),
-      w1q, row2(s1), row2(b1), w2q, row2(s2), row2(b2))
-
-
-def attention_block_vmem_bytes(t: int, d: int) -> int:
-    """Estimated per-program VMEM footprint of fused_attention_block.
+def attention_block_vmem_bytes(t: int, d: int, sb: int = 1) -> int:
+    """Estimated per-program VMEM footprint of fused_attention_block with
+    ``sb`` samples per program.
 
     x f32 + qkv f32 + av f32 + one head's scores (compiler keeps ~2 alive)
     + int8 weights + f32 scale/bias rows. Callers gate on this against the
     ~16MB/core budget (observed: t=1024, d=768 compiles to an 18.25M request
     and is rejected; t=128, d=1024 fits comfortably)."""
-    return (4 * t * d          # x (f32 working copy)
-            + 4 * t * 3 * d    # dequantized qkv
-            + 4 * t * d        # concatenated head outputs
-            + 2 * 4 * t * t    # scores/probs in flight
-            + 4 * d * d        # wqkv + wo int8
+    return (sb * (4 * t * d          # x (f32 working copy)
+                  + 4 * t * 3 * d    # dequantized qkv
+                  + 4 * t * d)       # concatenated head outputs
+            + 2 * 4 * t * t          # scores/probs in flight
+            + 4 * d * d              # wqkv + wo int8
             + 4 * 10 * max(d, 128))  # scale/bias rows, sx columns, slack
