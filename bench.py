@@ -137,8 +137,14 @@ def main():
     p50_batch = float(np.percentile(times, 50))
     samples_per_sec = batch / p50_batch
     p50_latency_ms = p50_batch / batch * 1000
+    # analytic model FLOPs: 25 steps x CFG 2 = 50 transformer forwards of
+    # ~2*params*tokens matmul FLOPs (attention core adds <2% at T=128)
+    tokens = points // (16 if not args.dry_run else 1)
+    tflop_per_sample = 2 * n_params * tokens * 2 * steps / 1e12
+    achieved_tflops = tflop_per_sample * samples_per_sec
     print(f"# compile={compile_s:.1f}s p50_batch={p50_batch*1000:.1f}ms "
-          f"p50/sample={p50_latency_ms:.2f}ms", file=sys.stderr)
+          f"p50/sample={p50_latency_ms:.2f}ms "
+          f"~{achieved_tflops:.0f} TFLOP/s effective", file=sys.stderr)
     print(json.dumps({
         "metric": "t2pc_2048pt_0.6B_samples_per_sec_per_chip"
                   + ("" if args.quantize else "_bf16"),
@@ -153,6 +159,10 @@ def main():
                          "0.6B (measured 335.1 GFLOP/fwd at 72.1M via torch "
                          "FlopCounterMode; see bench.py docstring)",
         "p50_latency_ms_per_sample": round(p50_latency_ms, 3),
+        "tflop_per_sample": round(tflop_per_sample, 2),
+        "achieved_tflop_s": round(achieved_tflops, 1),
+        "mfu_vs_v5e_int8_peak": round(achieved_tflops / 394.0, 3),
+        "mfu_vs_v5e_bf16_peak": round(achieved_tflops / 197.0, 3),
         "batch": batch, "diffusion_steps": steps, "points": points,
         "params_m": round(n_params / 1e6, 1),
         "backend": jax.default_backend(),
@@ -178,7 +188,7 @@ def bench_t2i(args):
         arch=("vit_d16w1024", "vit_d32w1024", "mlp_d6w1024"),
         image_dim=4, image_base_size=(32, 32), video_base_size=(1, 16, 16),
         patch_size=2, text_token_dim=256, text_token_len=32,
-        noise_scheduler=scheduler,
+        noise_scheduler=scheduler, quantize=args.quantize and on_tpu,
         dtype=jnp.bfloat16 if on_tpu else None)
     from nova_pointcloud_tpu.pipelines.builder import init_transformer
 
@@ -211,7 +221,10 @@ def bench_t2i(args):
     print(f"# compile={compile_s:.1f}s p50_batch={p50*1000:.0f}ms",
           file=sys.stderr)
     print(json.dumps({
-        "metric": "t2i_512_0.6B_samples_per_sec_per_chip",
+        "metric": "t2i_512_0.6B_samples_per_sec_per_chip"
+                  + ("" if args.quantize else "_bf16"),
+        "serving_dtype": ("w8a8-int8 fused pallas ViT MLP"
+                         if args.quantize and on_tpu else "bf16"),
         "value": round(sps, 3), "unit": "samples/sec/chip",
         "vs_baseline": None, "p50_latency_ms_per_sample": round(p50 / batch * 1000, 1),
         "batch": batch, "ar_steps": args.ar_steps, "diffusion_steps": args.steps,

@@ -84,6 +84,7 @@ class NOVATransformer(nn.Module):
     noise_scheduler: Any = None  # DDPMScheduler | FlowMatchEulerScheduler
     remat: bool = False
     attn_impl: str = "auto"
+    quantize: bool = False  # int8 fused-MLP serving in both ViTs (vit.Block)
     dtype: Any = None
 
     # -- derived sizes ------------------------------------------------------
@@ -133,9 +134,11 @@ class NOVATransformer(nn.Module):
         self.image_patch_embed = PatchEmbed(wi, self.patch_size)
         self.video_encoder = VisionTransformer(dv, wv, hv, remat=self.remat,
                                                attn_impl=self.attn_impl,
+                                               quantize=self.quantize,
                                                dtype=self.dtype)
         self.image_encoder = VisionTransformer(di, wi, hi, remat=self.remat,
                                                attn_impl=self.attn_impl,
+                                               quantize=self.quantize,
                                                dtype=self.dtype)
         self.image_decoder = DiffusionMLP(dd, wd, cond_dim=wi,
                                           out_dim=self.patch_dim,

@@ -69,22 +69,56 @@ class Attention(nn.Module):
 
 
 class Block(nn.Module):
-    """Post-sublayer-norm transformer block (`vision_transformer.py:67-92`)."""
+    """Post-sublayer-norm transformer block (`vision_transformer.py:67-92`).
+
+    ``quantize`` switches the MLP sub-block (2/3 of block matmul FLOPs) to
+    the int8 fused-Pallas serving path (one VMEM-resident kernel:
+    q8 -> W1 -> gelu -> q8 -> W2 -> post-LN -> residual). Serving only —
+    construct with quantize=True from sampling pipelines/benches, never for
+    training (the kernel is forward-only). The param tree is unchanged, so
+    bf16 checkpoints serve quantized with no conversion."""
 
     dim: int
     num_heads: int
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
     attn_impl: str = "auto"
+    quantize: bool = False
     dtype: Any = None
 
-    @nn.compact
+    def setup(self):
+        self.attn = Attention(self.dim, self.num_heads, self.qkv_bias,
+                              self.attn_impl, dtype=self.dtype)
+        self.norm1 = nn.LayerNorm()
+        self.norm2 = nn.LayerNorm()
+        self.mlp = MLP(self.dim, self.mlp_ratio, dtype=self.dtype)
+
+    def _fused_mlp(self, x: jax.Array) -> jax.Array:
+        from nova_pointcloud_tpu.ops.pallas.fused_block import (
+            fused_int8_mlp_postln)
+        from nova_pointcloud_tpu.ops.quantization import quantize_weight
+
+        mp = self.mlp.variables["params"]
+        np2 = self.norm2.variables["params"]
+        q1 = self.get_variable("qparams", "fc1_q", None)
+        if q1 is not None:
+            s1 = self.get_variable("qparams", "fc1_s")
+            q2 = self.get_variable("qparams", "fc2_q")
+            s2 = self.get_variable("qparams", "fc2_s")
+        else:
+            q1, s1 = quantize_weight(mp["fc1"]["kernel"])
+            q2, s2 = quantize_weight(mp["fc2"]["kernel"])
+        return fused_int8_mlp_postln(x, q1, s1, mp["fc1"]["bias"], q2, s2,
+                                     mp["fc2"]["bias"], np2["scale"],
+                                     np2["bias"])
+
     def __call__(self, x, bias=None, rope=None, cache=None, cache_index=None):
-        attn = Attention(self.dim, self.num_heads, self.qkv_bias,
-                         self.attn_impl, dtype=self.dtype, name="attn")
-        h, cache = attn(x, bias, rope, cache, cache_index)
-        x = x + nn.LayerNorm(name="norm1")(h)
-        x = x + nn.LayerNorm(name="norm2")(MLP(self.dim, self.mlp_ratio, dtype=self.dtype, name="mlp")(x))
+        h, cache = self.attn(x, bias, rope, cache, cache_index)
+        x = x + self.norm1(h)
+        if (self.quantize and not self.is_initializing()
+                and jax.default_backend() == "tpu"):
+            return self._fused_mlp(x), cache
+        x = x + self.norm2(self.mlp(x))
         return x, cache
 
 
@@ -96,6 +130,7 @@ class _ViTScanBody(nn.Module):
     mlp_ratio: float
     attn_impl: str
     remat: bool = False
+    quantize: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -104,7 +139,8 @@ class _ViTScanBody(nn.Module):
         cls = nn.remat(Block, static_argnums=()) if (self.remat and
                                                      cache is None) else Block
         blk = cls(self.dim, self.num_heads, self.mlp_ratio,
-                  attn_impl=self.attn_impl, dtype=self.dtype, name="block")
+                  attn_impl=self.attn_impl, quantize=self.quantize,
+                  dtype=self.dtype, name="block")
         h, new_cache = blk(h, bias, rope, cache, cache_index)
         return (h, bias, rope, cache_index), new_cache
 
@@ -128,6 +164,7 @@ class VisionTransformer(nn.Module):
     encoder_depth: Optional[int] = None
     attn_impl: str = "auto"
     remat: bool = False
+    quantize: bool = False  # int8 fused MLP serving path (see Block)
     dtype: Any = None
 
     @property
@@ -137,12 +174,12 @@ class VisionTransformer(nn.Module):
     def _stack(self, name: str, length: int, h, bias, rope, cache, cache_index):
         body = nn.scan(
             _ViTScanBody,
-            variable_axes={"params": 0},
+            variable_axes={"params": 0, "qparams": 0},
             split_rngs={"params": True},
             length=length,
             metadata_params={nn.meta.PARTITION_NAME: None},
         )(self.embed_dim, self.num_heads, self.mlp_ratio, self.attn_impl,
-          self.remat, self.dtype, name=name)
+          self.remat, self.quantize, self.dtype, name=name)
         (h, *_), new_cache = body((h, bias, rope, cache_index), cache)
         return h, new_cache
 

@@ -363,3 +363,77 @@ def attention_block_vmem_bytes(t: int, d: int, sb: int = 1) -> int:
             + 2 * 4 * t * t          # scores/probs in flight
             + 4 * d * d              # wqkv + wo int8
             + 4 * 10 * max(d, 128))  # scale/bias rows, sx columns, slack
+
+
+def _mlp_postln_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
+                       lns_ref, lnb_ref, o_ref):
+    x = x_ref[...].astype(jnp.float32)  # (TM, D)
+    q, sx = _quant_rows(x)
+    a = jax.lax.dot_general(q, w1_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    a = a.astype(jnp.float32) * sx * s1_ref[0] + b1_ref[0]
+    # exact gelu (NOVA ViT parity: nn.gelu(approximate=False), models/vit.py)
+    a = 0.5 * a * (1.0 + jax.lax.erf(a * (2.0 ** -0.5)))
+    q2, sx2 = _quant_rows(a)
+    o = jax.lax.dot_general(q2, w2_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    o = o.astype(jnp.float32) * sx2 * s2_ref[0] + b2_ref[0]
+    o = _ln(o, lns_ref[0].astype(jnp.float32), lnb_ref[0].astype(jnp.float32))
+    o_ref[...] = (x + o).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m",))
+def fused_int8_mlp_postln(x: jax.Array, w1q: jax.Array, s1: jax.Array,
+                          b1: jax.Array, w2q: jax.Array, s2: jax.Array,
+                          b2: jax.Array, ln_scale: jax.Array,
+                          ln_bias: jax.Array, block_m: int = 256) -> jax.Array:
+    """Post-sublayer-norm MLP residual, one VMEM-resident int8 pass:
+
+        y = x + LN(gelu(q8(x) @ W1q) @ W2q)
+
+    The NOVA ViT block's MLP sub-block (`models/vit.py` Block: post-norm,
+    exact gelu — vs the pc PreLNBlock's pre-norm relu handled by
+    fused_ln_int8_mlp). Serving/forward only; same quantize_weight layout.
+    """
+    orig_shape = x.shape
+    d = x.shape[-1]
+    f = w1q.shape[1]
+    xf = x.reshape(-1, d)
+    m = xf.shape[0]
+    pad = (-m) % block_m
+    if pad:
+        xf = jnp.pad(xf, ((0, pad), (0, 0)))
+    rows = xf.shape[0]
+
+    def row2(a):
+        return a.astype(jnp.float32).reshape(1, -1)
+
+    def const(shape):
+        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        _mlp_postln_kernel,
+        out_shape=jax.ShapeDtypeStruct((rows, d), x.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(rows // block_m,),
+            in_specs=[
+                pl.BlockSpec((block_m, d), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                const((d, f)), const((1, f)), const((1, f)),
+                const((f, d)), const((1, d)), const((1, d)),
+                const((1, d)), const((1, d)),
+            ],
+            out_specs=pl.BlockSpec((block_m, d), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * rows * d * f,
+            bytes_accessed=2 * rows * d * 2 + 2 * d * f,
+            transcendentals=rows * f,
+        ),
+    )(xf, w1q, row2(s1), row2(b1), w2q, row2(s2), row2(b2),
+      row2(ln_scale), row2(ln_bias))
+    if pad:
+        out = out[:m]
+    return out.reshape(orig_shape)

@@ -63,6 +63,23 @@ def _is_preln_block(tree) -> bool:
     return isinstance(tree, dict) and keys <= set(tree.keys())
 
 
+def _is_vit_block(tree) -> bool:
+    """A models/vit.Block param subtree (post-LN, MLP under 'mlp')."""
+    keys = {"attn", "mlp", "norm1", "norm2"}
+    return (isinstance(tree, dict) and keys <= set(tree.keys())
+            and isinstance(tree.get("mlp"), dict) and "fc1" in tree["mlp"])
+
+
+def _quantize_vit_block(bp) -> dict:
+    """ViT Block (optionally depth-stacked) -> serving q-leaves for the
+    fused int8 post-LN MLP path (models/vit.Block._fused_mlp). Attention
+    stays bf16 (bias/RoPE/KV-cache paths live in XLA)."""
+    q = {}
+    q["fc1_q"], q["fc1_s"] = quantize_weight_nd(bp["mlp"]["fc1"]["kernel"])
+    q["fc2_q"], q["fc2_s"] = quantize_weight_nd(bp["mlp"]["fc2"]["kernel"])
+    return q
+
+
 def _quantize_preln_block(bp) -> dict:
     """One PreLNBlock param subtree (optionally depth-stacked) -> serving
     q-leaves read by the fused Pallas path (models/pointcloud.PreLNBlock)."""
@@ -96,6 +113,8 @@ def quantize_serving_params(params) -> dict:
     out of the sampling scan so XLA runs it once per pipeline call."""
     if _is_preln_block(params):
         return _quantize_preln_block(params)
+    if _is_vit_block(params):
+        return _quantize_vit_block(params)
     if isinstance(params, dict):
         out = {}
         for k, v in params.items():

@@ -122,8 +122,16 @@ class NOVAPipeline:
                                   schedule=sched)
 
         def sample(params, c_text, key, latents0=None):
+            variables = {"params": params}
+            if (getattr(model, "quantize", False)
+                    and jax.default_backend() == "tpu"):
+                # int8 weights once per call, OUTSIDE the AR/diffusion scans
+                # (ops/quantization.quantize_serving_params docstring)
+                from nova_pointcloud_tpu.ops.quantization import (
+                    quantize_serving_params)
+                variables["qparams"] = quantize_serving_params(params)
             apply = lambda method, *a, **kw: model.apply(  # noqa: E731
-                {"params": params}, *a, method=method, **kw)
+                variables, *a, method=method, **kw)
 
             def generate_frame(cond, key):
                 """One frame: scan over AR steps (`transformer_3d.py:115-133`)."""

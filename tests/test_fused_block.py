@@ -158,3 +158,62 @@ def test_fused_attention_block_matches_split_path():
     err = np.abs(np.asarray(out, np.float32) - np.asarray(ref, np.float32))
     scale = np.abs(np.asarray(ref, np.float32)).mean()
     assert err.mean() / scale < 2e-2, (err.mean(), scale)
+
+
+def test_fused_int8_mlp_postln_matches_xla_math():
+    """Post-LN gelu MLP kernel == unfused int8 math (ViT Block serving)."""
+    from nova_pointcloud_tpu.ops.pallas.fused_block import fused_int8_mlp_postln
+
+    key = jax.random.PRNGKey(11)
+    d, f = 256, 1024
+    ks = jax.random.split(key, 6)
+    x = jax.random.normal(ks[0], (2, 64, d), jnp.float32) * 0.5
+    w1 = jax.random.normal(ks[1], (d, f)) * 0.05
+    b1 = jax.random.normal(ks[2], (f,)) * 0.01
+    w2 = jax.random.normal(ks[3], (f, d)) * 0.05
+    b2 = jax.random.normal(ks[4], (d,)) * 0.01
+    lns = jax.random.normal(ks[5], (d,)) * 0.1 + 1.0
+    lnb = jax.random.normal(ks[5], (d,)) * 0.1
+    q1, q2 = quantize_weight(w1), quantize_weight(w2)
+
+    a = int8_matmul(x, q1, jnp.float32) + b1
+    a = jax.nn.gelu(a, approximate=False)
+    h = int8_matmul(a, q2, jnp.float32) + b2
+    mu = h.mean(-1, keepdims=True)
+    var = ((h - mu) ** 2).mean(-1, keepdims=True)
+    ref = x + ((h - mu) * jax.lax.rsqrt(var + 1e-6) * lns + lnb)
+
+    with pltpu.force_tpu_interpret_mode():
+        out = fused_int8_mlp_postln(x, q1.values, q1.scales, b1,
+                                    q2.values, q2.scales, b2, lns, lnb,
+                                    block_m=64)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_vit_block_quantized_serving_matches_xla(monkeypatch):
+    """models/vit.Block with quantize=True (fused int8 post-LN MLP) tracks
+    the bf16 XLA block, and the pre-quantized qparams collection matches
+    in-graph quantization exactly."""
+    from nova_pointcloud_tpu.models.vit import Block
+    from nova_pointcloud_tpu.ops.quantization import quantize_serving_params
+
+    key = jax.random.PRNGKey(12)
+    x = jax.random.normal(key, (2, 32, 128), jnp.float32) * 0.3
+    ref_blk = Block(dim=128, num_heads=4)
+    params = ref_blk.init(key, x)["params"]
+    ref, _ = ref_blk.apply({"params": params}, x)
+
+    q_blk = Block(dim=128, num_heads=4, quantize=True)
+    import nova_pointcloud_tpu.models.vit as vit_mod
+    monkeypatch.setattr(vit_mod.jax, "default_backend", lambda: "tpu")
+    with pltpu.force_tpu_interpret_mode():
+        out, _ = q_blk.apply({"params": params}, x)
+        qp = quantize_serving_params(params)
+        assert set(qp) == {"fc1_q", "fc1_s", "fc2_q", "fc2_s"}
+        out_pre, _ = q_blk.apply({"params": params, "qparams": qp}, x)
+    err = np.abs(np.asarray(out) - np.asarray(ref))
+    scale = np.abs(np.asarray(ref)).mean()
+    assert err.mean() / scale < 2e-2, (err.mean(), scale)
+    np.testing.assert_allclose(np.asarray(out_pre), np.asarray(out),
+                               atol=1e-5, rtol=1e-5)
