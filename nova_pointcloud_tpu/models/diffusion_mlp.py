@@ -35,16 +35,52 @@ class Projector(nn.Module):
 
 
 class DiffusionBlock(nn.Module):
-    """AdaLN-zero gated residual MLP block (`diffusion_mlp.py:39-53`)."""
+    """AdaLN-zero gated residual MLP block (`diffusion_mlp.py:39-53`).
+
+    ``quantize`` runs the whole block as one VMEM-resident int8 Pallas
+    kernel at serving time (stats projection + modulated LN + silu MLP +
+    gated residual; ops/pallas/fused_block.fused_int8_diffusion_block).
+    Serving only; identical param tree."""
 
     dim: int
+    quantize: bool = False
     dtype: Any = None
 
-    @nn.compact
+    def setup(self):
+        self.norm1 = AdaLayerNormZero(self.dim, num_stats=3)
+        self.proj = Projector(self.dim, self.dim, self.dim, dtype=self.dtype)
+        self.norm2 = nn.LayerNorm()
+
+    def _fused(self, x: jax.Array, z: jax.Array) -> jax.Array:
+        from nova_pointcloud_tpu.ops.pallas.fused_block import (
+            fused_int8_diffusion_block)
+        from nova_pointcloud_tpu.ops.quantization import quantize_weight
+
+        n1 = self.norm1.variables["params"]
+        pp = self.proj.variables["params"]
+        n2 = self.norm2.variables["params"]
+        ws = self.get_variable("qparams", "stats_q", None)
+        if ws is not None:
+            ss = self.get_variable("qparams", "stats_s")
+            w1, s1 = (self.get_variable("qparams", "fc1_q"),
+                      self.get_variable("qparams", "fc1_s"))
+            w2, s2 = (self.get_variable("qparams", "fc2_q"),
+                      self.get_variable("qparams", "fc2_s"))
+        else:
+            ws, ss = quantize_weight(n1["proj"]["kernel"])
+            w1, s1 = quantize_weight(pp["fc1"]["kernel"])
+            w2, s2 = quantize_weight(pp["fc2"]["kernel"])
+        return fused_int8_diffusion_block(
+            x, z, ws, ss, n1["proj"]["bias"], w1, s1, pp["fc1"]["bias"],
+            w2, s2, pp["fc2"]["bias"], n2["scale"], n2["bias"])
+
     def __call__(self, x: jax.Array, z: jax.Array) -> jax.Array:
-        h, (gate,) = AdaLayerNormZero(self.dim, num_stats=3, name="norm1")(x, z)
-        h = Projector(self.dim, self.dim, self.dim, dtype=self.dtype, name="proj")(h)
-        return nn.LayerNorm(name="norm2")(h) * gate + x
+        if (self.quantize and not self.is_initializing()
+                and jax.default_backend() == "tpu"):
+            return self._fused(x, z)
+        h, (gate,) = self.norm1(x, z)
+        h = self.proj(h)
+        return self.norm2(h) * gate + x
 
 
 class TimeCondEmbed(nn.Module):
@@ -77,6 +113,7 @@ class DiffusionMLP(nn.Module):
     embed_dim: int
     cond_dim: int
     out_dim: int  # = patch_size**2 * image_dim (or point patch dim)
+    quantize: bool = False  # int8 fused serving blocks (see DiffusionBlock)
     dtype: Any = None
 
     @nn.compact
@@ -85,6 +122,7 @@ class DiffusionMLP(nn.Module):
         zc = TimeCondEmbed(self.cond_dim, self.embed_dim, dtype=self.dtype,
                            name="time_cond_embed")(timestep, z)
         for i in range(self.depth):
-            h = DiffusionBlock(self.embed_dim, dtype=self.dtype, name=f"blocks_{i}")(h, zc)
+            h = DiffusionBlock(self.embed_dim, quantize=self.quantize,
+                               dtype=self.dtype, name=f"blocks_{i}")(h, zc)
         h, _ = AdaLayerNormZero(self.embed_dim, num_stats=2, name="norm")(h, zc)
         return nn.Dense(self.out_dim, dtype=self.dtype, name="head")(h)

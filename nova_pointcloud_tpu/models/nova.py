@@ -142,6 +142,7 @@ class NOVATransformer(nn.Module):
                                                dtype=self.dtype)
         self.image_decoder = DiffusionMLP(dd, wd, cond_dim=wi,
                                           out_dim=self.patch_dim,
+                                          quantize=self.quantize,
                                           dtype=self.dtype)
         self.mask_tokens = MaskTokens(wi)
         if self.text_token_dim:

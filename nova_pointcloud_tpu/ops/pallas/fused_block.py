@@ -437,3 +437,99 @@ def fused_int8_mlp_postln(x: jax.Array, w1q: jax.Array, s1: jax.Array,
     if pad:
         out = out[:m]
     return out.reshape(orig_shape)
+
+
+def _diffusion_block_kernel(x_ref, zc_ref, ws_ref, ss_ref, bs_ref,
+                            w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
+                            n2s_ref, n2b_ref, o_ref):
+    d = x_ref.shape[-1]
+    x = x_ref[...].astype(jnp.float32)  # (TM, D)
+    z = zc_ref[...].astype(jnp.float32)
+    z = z * jax.nn.sigmoid(z)  # silu
+    qz, sz = _quant_rows(z)
+    stats = jax.lax.dot_general(qz, ws_ref[...], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+    stats = stats.astype(jnp.float32) * sz * ss_ref[0] + bs_ref[0]  # (TM, 3D)
+    t = x.shape[0]
+    scale = jax.lax.slice(stats, (0, 0), (t, d))
+    shift = jax.lax.slice(stats, (0, d), (t, 2 * d))
+    gate = jax.lax.slice(stats, (0, 2 * d), (t, 3 * d))
+    h = _ln(x, 1.0, 0.0) * (1.0 + scale) + shift  # AdaLN-zero (no ln affine)
+    qh, sh = _quant_rows(h)
+    a = jax.lax.dot_general(qh, w1_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    a = a.astype(jnp.float32) * sh * s1_ref[0] + b1_ref[0]
+    a = a * jax.nn.sigmoid(a)  # silu (Projector, diffusion_mlp.py:26-36)
+    qa, sa = _quant_rows(a)
+    o = jax.lax.dot_general(qa, w2_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    o = o.astype(jnp.float32) * sa * s2_ref[0] + b2_ref[0]
+    o = _ln(o, n2s_ref[0].astype(jnp.float32), n2b_ref[0].astype(jnp.float32))
+    o_ref[...] = (o * gate + x).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m",))
+def fused_int8_diffusion_block(x: jax.Array, zc: jax.Array,
+                               wstats_q: jax.Array, stats_s: jax.Array,
+                               stats_b: jax.Array, w1q: jax.Array,
+                               s1: jax.Array, b1: jax.Array, w2q: jax.Array,
+                               s2: jax.Array, b2: jax.Array,
+                               n2_scale: jax.Array, n2_bias: jax.Array,
+                               block_m: int = 256) -> jax.Array:
+    """One DiffusionMLP block (`models/diffusion_mlp.DiffusionBlock`,
+    reference `diffusion_mlp.py:39-53`) as a single VMEM-resident int8 pass:
+
+        (scale|shift|gate) = q8(silu(zc)) @ Wstats + b
+        h = LN_noaffine(x) * (1 + scale) + shift
+        h = q8(silu(q8(h) @ W1 + b1)) @ W2 + b2
+        y = LN_affine(h) * gate + x
+
+    This is the inner 25-step token-diffusion loop of every sampler (t2i /
+    t2v / masked-AR pc) — it runs 25 x ar_steps times per sample.
+    """
+    orig_shape = x.shape
+    d = x.shape[-1]
+    xf = x.reshape(-1, d)
+    zf = zc.reshape(-1, d)
+    m = xf.shape[0]
+    pad = (-m) % block_m
+    if pad:
+        xf = jnp.pad(xf, ((0, pad), (0, 0)))
+        zf = jnp.pad(zf, ((0, pad), (0, 0)))
+    rows = xf.shape[0]
+
+    def row2(a):
+        return a.astype(jnp.float32).reshape(1, -1)
+
+    def const(shape):
+        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        _diffusion_block_kernel,
+        out_shape=jax.ShapeDtypeStruct((rows, d), x.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(rows // block_m,),
+            in_specs=[
+                pl.BlockSpec((block_m, d), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_m, d), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                const((d, 3 * d)), const((1, 3 * d)), const((1, 3 * d)),
+                const((d, d)), const((1, d)), const((1, d)),
+                const((d, d)), const((1, d)), const((1, d)),
+                const((1, d)), const((1, d)),
+            ],
+            out_specs=pl.BlockSpec((block_m, d), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rows * d * 5 * d,
+            bytes_accessed=3 * rows * d * 2 + 5 * d * d,
+            transcendentals=2 * rows * d,
+        ),
+    )(xf, zf, wstats_q, row2(stats_s), row2(stats_b), w1q, row2(s1), row2(b1),
+      w2q, row2(s2), row2(b2), row2(n2_scale), row2(n2_bias))
+    if pad:
+        out = out[:m]
+    return out.reshape(orig_shape)

@@ -63,6 +63,24 @@ def _is_preln_block(tree) -> bool:
     return isinstance(tree, dict) and keys <= set(tree.keys())
 
 
+def _is_diffusion_block(tree) -> bool:
+    """A models/diffusion_mlp.DiffusionBlock param subtree."""
+    return (isinstance(tree, dict)
+            and {"norm1", "proj", "norm2"} <= set(tree.keys())
+            and isinstance(tree.get("proj"), dict) and "fc1" in tree["proj"]
+            and isinstance(tree.get("norm1"), dict) and "proj" in tree["norm1"])
+
+
+def _quantize_diffusion_block(bp) -> dict:
+    """DiffusionBlock -> q-leaves for fused_int8_diffusion_block."""
+    q = {}
+    q["stats_q"], q["stats_s"] = quantize_weight_nd(
+        bp["norm1"]["proj"]["kernel"])
+    q["fc1_q"], q["fc1_s"] = quantize_weight_nd(bp["proj"]["fc1"]["kernel"])
+    q["fc2_q"], q["fc2_s"] = quantize_weight_nd(bp["proj"]["fc2"]["kernel"])
+    return q
+
+
 def _is_vit_block(tree) -> bool:
     """A models/vit.Block param subtree (post-LN, MLP under 'mlp')."""
     keys = {"attn", "mlp", "norm1", "norm2"}
@@ -115,6 +133,8 @@ def quantize_serving_params(params) -> dict:
         return _quantize_preln_block(params)
     if _is_vit_block(params):
         return _quantize_vit_block(params)
+    if _is_diffusion_block(params):
+        return _quantize_diffusion_block(params)
     if isinstance(params, dict):
         out = {}
         for k, v in params.items():

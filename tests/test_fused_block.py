@@ -217,3 +217,62 @@ def test_vit_block_quantized_serving_matches_xla(monkeypatch):
     assert err.mean() / scale < 2e-2, (err.mean(), scale)
     np.testing.assert_allclose(np.asarray(out_pre), np.asarray(out),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_fused_diffusion_block_matches_xla(monkeypatch):
+    """DiffusionBlock quantize=True (one-kernel AdaLN-zero + silu MLP +
+    gated residual) tracks the XLA block; qparams == in-graph quant."""
+    from nova_pointcloud_tpu.models.diffusion_mlp import DiffusionBlock
+    from nova_pointcloud_tpu.ops.quantization import quantize_serving_params
+
+    key = jax.random.PRNGKey(13)
+    d = 128
+    x = jax.random.normal(key, (2, 24, d), jnp.float32) * 0.5
+    z = jax.random.normal(jax.random.PRNGKey(14), (2, 24, d), jnp.float32)
+    ref_blk = DiffusionBlock(d)
+    params = ref_blk.init(key, x, z)["params"]
+    # zero-init stats proj makes the block an identity; give it signal
+    params["norm1"]["proj"]["kernel"] = jax.random.normal(
+        jax.random.PRNGKey(15), (d, 3 * d)) * 0.05
+    ref = ref_blk.apply({"params": params}, x, z)
+
+    q_blk = DiffusionBlock(d, quantize=True)
+    import nova_pointcloud_tpu.models.diffusion_mlp as dm_mod
+    monkeypatch.setattr(dm_mod.jax, "default_backend", lambda: "tpu")
+    with pltpu.force_tpu_interpret_mode():
+        out = q_blk.apply({"params": params}, x, z)
+        qp = quantize_serving_params(params)
+        assert set(qp) == {"stats_q", "stats_s", "fc1_q", "fc1_s",
+                           "fc2_q", "fc2_s"}
+        out_pre = q_blk.apply({"params": params, "qparams": qp}, x, z)
+    err = np.abs(np.asarray(out) - np.asarray(ref))
+    scale = np.abs(np.asarray(ref)).mean()
+    assert err.mean() / scale < 3e-2, (err.mean(), scale)
+    np.testing.assert_allclose(np.asarray(out_pre), np.asarray(out),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_diffusion_mlp_quantized_serving_matches_xla(monkeypatch):
+    """Full DiffusionMLP head with quantize=True tracks the XLA head."""
+    from nova_pointcloud_tpu.models.diffusion_mlp import DiffusionMLP
+
+    key = jax.random.PRNGKey(16)
+    d = 128
+    x = jax.random.normal(key, (2, 16, 12), jnp.float32)
+    t = jnp.full((2,), 500.0)
+    z = jax.random.normal(jax.random.PRNGKey(17), (2, 16, d), jnp.float32)
+    ref_m = DiffusionMLP(2, d, cond_dim=d, out_dim=12)
+    params = ref_m.init(key, x, t, z)["params"]
+    for i in range(2):  # give the zero-init AdaLN stats projections signal
+        params[f"blocks_{i}"]["norm1"]["proj"]["kernel"] = (
+            jax.random.normal(jax.random.PRNGKey(20 + i), (d, 3 * d)) * 0.05)
+    ref = ref_m.apply({"params": params}, x, t, z)
+
+    q_m = DiffusionMLP(2, d, cond_dim=d, out_dim=12, quantize=True)
+    import nova_pointcloud_tpu.models.diffusion_mlp as dm_mod
+    monkeypatch.setattr(dm_mod.jax, "default_backend", lambda: "tpu")
+    with pltpu.force_tpu_interpret_mode():
+        out = q_m.apply({"params": params}, x, t, z)
+    err = np.abs(np.asarray(out) - np.asarray(ref))
+    scale = np.abs(np.asarray(ref)).mean() + 1e-6
+    assert err.mean() / scale < 5e-2, (err.mean(), scale)
