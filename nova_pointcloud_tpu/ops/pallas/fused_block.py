@@ -49,6 +49,22 @@ def _quant_rows(x):
     return q, s
 
 
+def _erf(x):
+    """erf via Abramowitz-Stegun 7.1.26 (max err 1.5e-7): Mosaic has no
+    lowering for lax.erf, but exp lowers fine."""
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _silu(x):
+    # explicit logistic: guaranteed-lowerable primitives only
+    return x / (1.0 + jnp.exp(-x))
+
+
 def _mlp_kernel(x_ref, lns_ref, lnb_ref, w1_ref, s1_ref, b1_ref,
                 w2_ref, s2_ref, b2_ref, o_ref):
     x = x_ref[...].astype(jnp.float32)  # (TM, D)
@@ -373,7 +389,7 @@ def _mlp_postln_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
                             preferred_element_type=jnp.int32)
     a = a.astype(jnp.float32) * sx * s1_ref[0] + b1_ref[0]
     # exact gelu (NOVA ViT parity: nn.gelu(approximate=False), models/vit.py)
-    a = 0.5 * a * (1.0 + jax.lax.erf(a * (2.0 ** -0.5)))
+    a = 0.5 * a * (1.0 + _erf(a * (2.0 ** -0.5)))
     q2, sx2 = _quant_rows(a)
     o = jax.lax.dot_general(q2, w2_ref[...], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.int32)
@@ -445,7 +461,7 @@ def _diffusion_block_kernel(x_ref, zc_ref, ws_ref, ss_ref, bs_ref,
     d = x_ref.shape[-1]
     x = x_ref[...].astype(jnp.float32)  # (TM, D)
     z = zc_ref[...].astype(jnp.float32)
-    z = z * jax.nn.sigmoid(z)  # silu
+    z = _silu(z)
     qz, sz = _quant_rows(z)
     stats = jax.lax.dot_general(qz, ws_ref[...], (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.int32)
@@ -459,7 +475,7 @@ def _diffusion_block_kernel(x_ref, zc_ref, ws_ref, ss_ref, bs_ref,
     a = jax.lax.dot_general(qh, w1_ref[...], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.int32)
     a = a.astype(jnp.float32) * sh * s1_ref[0] + b1_ref[0]
-    a = a * jax.nn.sigmoid(a)  # silu (Projector, diffusion_mlp.py:26-36)
+    a = _silu(a)  # Projector activation (diffusion_mlp.py:26-36)
     qa, sa = _quant_rows(a)
     o = jax.lax.dot_general(qa, w2_ref[...], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.int32)
