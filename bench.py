@@ -251,7 +251,7 @@ def bench_t2v(args):
         image_dim=4, image_base_size=(30, 48), video_base_size=(9, 15, 24),
         patch_size=2, text_token_dim=2560, text_token_len=256,
         rotary_pos_embed=True, video_mixer_rank=24,
-        noise_scheduler=scheduler,
+        noise_scheduler=scheduler, quantize=args.quantize and on_tpu,
         dtype=jnp.bfloat16 if on_tpu else None)
     from nova_pointcloud_tpu.pipelines.builder import init_transformer
 
@@ -287,7 +287,10 @@ def bench_t2v(args):
     p50 = float(np.percentile(times, 50))
     print(f"# compile={compile_s:.1f}s p50_video={p50:.1f}s", file=sys.stderr)
     print(json.dumps({
-        "metric": "t2v_osp480_0.6B_videos_per_sec_per_chip",
+        "metric": "t2v_osp480_0.6B_videos_per_sec_per_chip"
+                  + ("" if args.quantize else "_bf16"),
+        "serving_dtype": ("w8a8-int8 fused pallas ViT MLP"
+                         if args.quantize and on_tpu else "bf16"),
         "value": round(batch / p50, 4), "unit": "videos/sec/chip",
         "vs_baseline": None,
         "p50_latency_s_per_video": round(p50 / batch, 2),

@@ -129,7 +129,7 @@ def build_t2i(args):
         arch=("vit_d16w768", "vit_d32w768", "mlp_d6w768"), image_dim=4,
         image_base_size=(16, 16), video_base_size=(1, 8, 8), patch_size=2,
         text_token_dim=256, text_token_len=32, noise_scheduler=sched,
-        dtype=jnp.bfloat16 if on_tpu else None)
+        quantize=on_tpu, dtype=jnp.bfloat16 if on_tpu else None)
     params = init_transformer(model, seed=0)
     return NOVAPipeline(model, params, sched,
                         text_encoder=DummyTextEncoder(256, 32))

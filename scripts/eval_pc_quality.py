@@ -19,6 +19,7 @@ def main():
     ap.add_argument("--checkpoint-dir", default="output/pc_r2")
     ap.add_argument("--arch", default="pc_d8w768")
     ap.add_argument("--num-points", type=int, default=1024)
+    ap.add_argument("--patch-size", type=int, default=1)
     ap.add_argument("--num-shapes", type=int, default=24)
     ap.add_argument("--steps", type=int, default=25)
     ap.add_argument("--out", default="results/pc_quality_r2.json")
@@ -54,7 +55,8 @@ def main():
 
     def build(quantize):
         model = NOVAPointCloudTransformer(
-            arch=args.arch, point_cloud_size=args.num_points, patch_size=1,
+            arch=args.arch, point_cloud_size=args.num_points,
+            patch_size=args.patch_size,
             text_token_dim=256, dropout=0.0, quantize=quantize,
             dtype=jnp.bfloat16 if on_tpu else None)
         x = jnp.zeros((1, args.num_points, 3))
