@@ -46,6 +46,7 @@ class NOVAPointCloudARTransformer(nn.Module):
     loss_repeat: int = 4
     noise_scheduler: Any = None
     remat: bool = False
+    quantize: bool = False  # int8 fused serving (ViT MLP + diffusion head)
     dtype: Any = None
 
     @property
@@ -64,9 +65,12 @@ class NOVAPointCloudARTransformer(nn.Module):
             "pos_embed", nn.initializers.normal(0.02),
             (1, self.num_tokens, dim))
         self.encoder = VisionTransformer(depth, dim, heads, remat=self.remat,
-                                         attn_impl="auto", dtype=self.dtype)
+                                         attn_impl="auto",
+                                         quantize=self.quantize,
+                                         dtype=self.dtype)
         self.decoder = DiffusionMLP(MLP_DEPTH, dim, cond_dim=dim,
-                                    out_dim=self.patch_dim, dtype=self.dtype)
+                                    out_dim=self.patch_dim,
+                                    quantize=self.quantize, dtype=self.dtype)
         self.mask_tokens = MaskTokens(dim)
         self.cluster = ClusterBlock(dim, heads, self.num_clusters,
                                     dtype=self.dtype)

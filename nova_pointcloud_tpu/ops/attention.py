@@ -51,7 +51,13 @@ def _use_pallas(q: jax.Array, k: jax.Array, bias, impl: str) -> bool:
         return False
     if jax.default_backend() != "tpu":
         return False
-    if k.shape[-2] < 1024:  # short sequences: XLA's fused attention is fine
+    # threshold kept at 1024 by END-TO-END measurement: the isolated core
+    # favors XLA at L~1k (1.16 vs 1.71 ms/layer) and flash from 2k up
+    # (1.5-1.75x), but the full t2i sampler runs 0.598 samples/s with flash
+    # at its 1056-key encoder vs 0.455 with XLA — in context, flash's
+    # avoided f32 score materialization frees HBM bandwidth the isolated
+    # microbench doesn't account for.
+    if k.shape[-2] < 1024:
         return False
     if bias is None:
         return True
@@ -63,7 +69,7 @@ def _use_pallas(q: jax.Array, k: jax.Array, bias, impl: str) -> bool:
 def make_flax_attention_fn(impl: str = "auto"):
     """``attention_fn`` for ``nn.MultiHeadDotProductAttention`` that routes
     through this module's dispatcher: XLA SDPA at short sequences /
-    with attention dropout, the Pallas flash kernel at >=1024 keys on TPU.
+    with attention dropout, the Pallas flash kernel at >=1024 keys on TPU (threshold set end-to-end on v5e).
 
     Lets flax-parameterized models (identical checkpoints) pick up the fused
     kernel without touching their parameter trees. Replaces the reference's

@@ -59,7 +59,13 @@ class NOVAPointCloudARPipeline:
                                   schedule=sched)
 
         def sample(params, c_text, key):
-            apply = lambda m, *a: model.apply({"params": params}, *a, method=m)  # noqa: E731
+            variables = {"params": params}
+            if (getattr(model, "quantize", False)
+                    and jax.default_backend() == "tpu"):
+                from nova_pointcloud_tpu.ops.quantization import (
+                    quantize_serving_params)
+                variables["qparams"] = quantize_serving_params(params)
+            apply = lambda m, *a: model.apply(variables, *a, method=m)  # noqa: E731
 
             k_order, k_loop = jax.random.split(key)
             order = masking.random_pred_order(k_order, batch, nt)
