@@ -11,7 +11,10 @@ ride neighbor ICI links.
 
 Differentiable end to end (scan + ppermute have transpose rules), so the same
 program serves forward and training. Bubble fraction is (S-1)/(S+M-1); pick
-num_micro >= num_stages for >=50% pipeline utilization.
+num_micro >= num_stages for >=50% pipeline utilization. For smaller bubbles,
+``circular_pipelined_apply`` implements the interleaved ("circular",
+Megatron-LM-style) schedule: V non-adjacent chunks per device, bubble
+(S-1)/(M*V + S-1), same masked-scan + ppermute realization.
 
 Composes with DP: put "data" on the microbatch dim of the inputs and "pipe"
 on the stage axis of the params — XLA keeps grad all-reduces on "data"
@@ -165,3 +168,117 @@ def split_microbatches(batch: jax.Array, num_micro: int) -> jax.Array:
 def merge_microbatches(batch: jax.Array) -> jax.Array:
     """Inverse of split_microbatches."""
     return batch.reshape((batch.shape[0] * batch.shape[1],) + batch.shape[2:])
+
+
+def stack_circular_params(params, num_stages: int, num_chunks: int):
+    """Reshape scanned-block params (depth, ...) -> (S, V, depth/(S*V), ...).
+
+    Chunk v on device d holds logical stages [v*S + d], i.e. GLOBAL layer
+    indices are laid out chunk-major then device-major: layer l belongs to
+    device (l // chunk_len) % S at chunk (l // chunk_len) // S, where
+    chunk_len = depth // (S*V).
+    """
+    def reshape(p):
+        depth = p.shape[0]
+        if depth % (num_stages * num_chunks):
+            raise ValueError(
+                f"depth {depth} not divisible by {num_stages} stages x "
+                f"{num_chunks} chunks")
+        lc = depth // (num_stages * num_chunks)
+        # (V*S, lc, ...) with stage-major order v*S + d -> split to (V, S)
+        p = p.reshape((num_chunks, num_stages, lc) + p.shape[1:])
+        return jnp.swapaxes(p, 0, 1)  # (S, V, lc, ...)
+
+    return jax.tree.map(reshape, params)
+
+
+def circular_pipelined_apply(block_apply: Callable, stage_params, x, *,
+                             num_stages: int, num_chunks: int,
+                             axis: str = "pipe", remat: bool = False):
+    """Interleaved ("circular") pipeline schedule inside ``shard_map``.
+
+    Each device holds ``num_chunks`` (V) non-adjacent stage chunks; a
+    microbatch hops the physical ring V times, so each tick runs 1/V of a
+    GPipe stage and the bubble fraction drops from (S-1)/(M+S-1) to
+    (S-1)/(M*V + S-1) (Megatron-LM interleaved schedule, realized as one
+    masked lax.scan over ticks + a ppermute ring — no per-device program
+    divergence, XLA-friendly).
+
+    Conflict-free tick algebra: device d at tick t works iff u = t - d >= 0;
+    with r = u mod S, q = u div S, its chunk is v = q mod V and the
+    microbatch is m = (q div V)*S + r (active iff m < M). Device 0 ingests
+    microbatch m fresh when v == 0, else consumes the ring loop-back.
+
+    stage_params: this device's local (1, V, L/(S*V), ...) tree from
+    stack_circular_params. x: (M, mb, T, D) microbatches.
+    """
+    local = jax.tree.map(lambda p: p[0], stage_params)  # (V, Lc, ...)
+    s = jax.lax.axis_index(axis)
+    num_micro = x.shape[0]
+    S, V, M = num_stages, num_chunks, num_micro
+    u_max = (M - 1) % S + S * ((V - 1) + ((M - 1) // S) * V)
+    ticks = u_max + S
+    perm = [(i, (i + 1) % S) for i in range(S)]
+    apply_one = jax.checkpoint(block_apply) if remat else block_apply
+
+    def chunk_fn(h, v):
+        chunk_params = jax.tree.map(
+            lambda p: jax.lax.dynamic_index_in_dim(p, v, 0, keepdims=False),
+            local)
+
+        def body(h, layer_params):
+            return apply_one(layer_params, h), None
+
+        h, _ = jax.lax.scan(body, h, chunk_params)
+        return h
+
+    def tick(carry, t):
+        h_prev, out = carry
+        u = t - s
+        r = jnp.mod(u, S)
+        q = jnp.floor_divide(u, S)
+        v = jnp.clip(jnp.mod(q, V), 0, V - 1)
+        m = jnp.floor_divide(q, V) * S + r
+        active = jnp.logical_and(u >= 0, m < M)
+        m_c = jnp.clip(m, 0, M - 1)
+        x_in = jax.lax.dynamic_index_in_dim(x, m_c, 0, keepdims=False)
+        ingest = jnp.logical_and(s == 0, v == 0)
+        h_in = jnp.where(ingest, x_in, h_prev)
+        h_out = chunk_fn(h_in, v)
+        write = jnp.logical_and(
+            jnp.logical_and(s == S - 1, v == V - 1), active)
+        out = jnp.where(
+            write,
+            jax.lax.dynamic_update_index_in_dim(out, h_out, m_c, 0),
+            out)
+        h_next = jax.lax.ppermute(h_out, axis, perm)
+        return (h_next, out), None
+
+    h0 = jnp.zeros_like(x[0])
+    out0 = jnp.zeros_like(x)
+    (_, out), _ = jax.lax.scan(tick, (h0, out0), jnp.arange(ticks))
+    return jax.lax.all_gather(out, axis)[num_stages - 1]
+
+
+def make_circular_pipelined_apply(block_apply: Callable, num_stages: int,
+                                  num_chunks: int, mesh: Mesh,
+                                  axis: str = "pipe", data_axis: str = None,
+                                  remat: bool = False):
+    """shard_map-wrapped interleaved-pipeline runner over full arrays.
+
+    run(stacked_params, x): stacked_params (S, V, L/(S*V), ...) from
+    stack_circular_params, sharded on ``axis``; x (M, mb, T, D).
+    """
+    x_spec = P(None, data_axis, None, None)
+
+    def run(stacked_params, x):
+        p_specs = jax.tree.map(
+            lambda p: P(*([axis] + [None] * (p.ndim - 1))), stacked_params)
+        fn = shard_map(
+            partial(circular_pipelined_apply, block_apply,
+                    num_stages=num_stages, num_chunks=num_chunks, axis=axis,
+                    remat=remat),
+            mesh=mesh, in_specs=(p_specs, x_spec), out_specs=x_spec)
+        return fn(stacked_params, x)
+
+    return run

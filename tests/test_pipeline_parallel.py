@@ -203,3 +203,67 @@ def test_pp_tp_composition():
             np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4,
             err_msg=str(path)),
         pp_g, ref_g)
+
+
+def test_circular_pipeline_matches_sequential():
+    """Interleaved (circular) schedule: V chunks per device, microbatches hop
+    the ring V times. Must be numerically identical to the sequential stack,
+    forward and grads, including remat."""
+    from nova_pointcloud_tpu.parallel.pipeline import (
+        make_circular_pipelined_apply, stack_circular_params)
+
+    stack, params, block_params, block_apply, x = _setup()  # depth 8
+    ref = stack.apply({"params": params}, x)
+
+    mesh = create_mesh({"pipe": 2, "data": 2}, devices=jax.devices()[:4])
+    run = make_circular_pipelined_apply(block_apply, num_stages=2,
+                                        num_chunks=2, mesh=mesh,
+                                        axis="pipe", data_axis="data")
+    stacked = stack_circular_params(block_params, 2, 2)
+    leaf = jax.tree.leaves(stacked)[0]
+    assert leaf.shape[:3] == (2, 2, 2)  # (S, V, depth/(S*V))
+    out = merge_microbatches(run(stacked, split_microbatches(x, 4)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+    # grads (remat on — the flagship training configuration)
+    run_r = make_circular_pipelined_apply(block_apply, num_stages=2,
+                                          num_chunks=2, mesh=mesh,
+                                          axis="pipe", data_axis="data",
+                                          remat=True)
+
+    def ref_loss(bp):
+        out = stack.apply({"params": {"layers": {"block": bp}}}, x)
+        return jnp.mean(out ** 2)
+
+    def circ_loss(bp):
+        out = run_r(stack_circular_params(bp, 2, 2),
+                    split_microbatches(x, 4))
+        return jnp.mean(out ** 2)
+
+    ref_v, ref_g = jax.value_and_grad(ref_loss)(block_params)
+    c_v, c_g = jax.value_and_grad(circ_loss)(block_params)
+    np.testing.assert_allclose(float(c_v), float(ref_v), rtol=1e-6)
+    jax.tree_util.tree_map_with_path(
+        lambda path, a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4,
+            err_msg=str(path)),
+        c_g, ref_g)
+
+
+def test_circular_pipeline_uneven_micro():
+    """M not a multiple of S still schedules correctly."""
+    from nova_pointcloud_tpu.parallel.pipeline import (
+        make_circular_pipelined_apply, stack_circular_params)
+
+    stack, params, block_params, block_apply, _ = _setup()
+    x = jax.random.normal(jax.random.PRNGKey(5), (6, 16, DIM))
+    ref = stack.apply({"params": params}, x)
+    mesh = create_mesh({"pipe": 4, "data": 2})
+    run = make_circular_pipelined_apply(block_apply, num_stages=4,
+                                        num_chunks=2, mesh=mesh,
+                                        axis="pipe", data_axis="data")
+    stacked = stack_circular_params(block_params, 4, 2)  # lc = 1
+    out = merge_microbatches(run(stacked, split_microbatches(x, 3)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
