@@ -22,7 +22,9 @@ def export_to_image(image, path: str, quality: int = 95):
 
 
 def export_to_video(frames: Sequence[np.ndarray], path: str, fps: int = 12):
-    """Write frames (T, H, W, 3 uint8) to mp4 (imageio) or PNG fallback."""
+    """Write frames (T, H, W, 3 uint8) to mp4 (imageio/ffmpeg); hosts without
+    an mp4 codec fall back to an animated GIF next to ``path`` (a real
+    single-file artifact, so callers always get back an existing file)."""
     try:
         import imageio.v2 as imageio
 
@@ -32,10 +34,14 @@ def export_to_video(frames: Sequence[np.ndarray], path: str, fps: int = 12):
         writer.close()
         return path
     except Exception:
+        from PIL import Image
+
         base, _ = os.path.splitext(path)
-        for i, f in enumerate(frames):
-            export_to_image(np.asarray(f), f"{base}_{i:04d}.png")
-        return base
+        gif = base + ".gif"
+        imgs = [Image.fromarray(np.asarray(f)[..., :3]) for f in frames]
+        imgs[0].save(gif, save_all=True, append_images=imgs[1:],
+                     duration=max(int(1000 / fps), 1), loop=0)
+        return gif
 
 
 def export_to_ply(points: np.ndarray, path: str,
