@@ -24,6 +24,10 @@ def main():
     ap.add_argument("--steps", type=int, default=25)
     ap.add_argument("--out", default="results/pc_quality_r2.json")
     ap.add_argument("--seed", type=int, default=123)
+    ap.add_argument("--use-ema", action="store_true",
+                    help="evaluate the EMA weights saved alongside params "
+                         "(sampled quality tracks EMA better than the raw "
+                         "weights at annealed-LR tails)")
     args = ap.parse_args()
 
     from nova_pointcloud_tpu.utils.platform import ensure_cpu_if_forced
@@ -65,10 +69,13 @@ def main():
              "dropout": jax.random.PRNGKey(1)},
             x, jnp.zeros((1,), jnp.int32), jnp.zeros((1, 16, 256)))["params"]
         ckpt = CheckpointManager(args.checkpoint_dir)
-        out = ckpt.restore(template={"params": params})
+        template = {"params": params}
+        if args.use_ema:
+            template["ema"] = params
+        out = ckpt.restore(template=template)
         if out is None:
             raise SystemExit(f"no checkpoint under {args.checkpoint_dir}")
-        params = out["state"]["params"]
+        params = out["state"]["ema" if args.use_ema else "params"]
         step = out["step"]
         if on_tpu:
             params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
