@@ -69,6 +69,9 @@ def main():
     ap.add_argument("--no-quantize", dest="quantize", action="store_false",
                     help="bf16 variant")
     args = ap.parse_args()
+    from nova_pointcloud_tpu.utils.platform import enable_compilation_cache
+
+    enable_compilation_cache()
     if args.mode == "t2i":
         return bench_t2i(args)
     if args.mode == "t2v":
@@ -139,7 +142,7 @@ def main():
     p50_latency_ms = p50_batch / batch * 1000
     # analytic model FLOPs: 25 steps x CFG 2 = 50 transformer forwards of
     # ~2*params*tokens matmul FLOPs (attention core adds <2% at T=128)
-    tokens = points // (16 if not args.dry_run else 1)
+    tokens = points // model.patch_size
     tflop_per_sample = 2 * n_params * tokens * 2 * steps / 1e12
     achieved_tflops = tflop_per_sample * samples_per_sec
     print(f"# compile={compile_s:.1f}s p50_batch={p50_batch*1000:.1f}ms "

@@ -11,6 +11,7 @@ import os
 import re
 from typing import Any, Dict, Optional
 
+import jax
 import orbax.checkpoint as ocp
 
 
@@ -48,16 +49,40 @@ class CheckpointManager:
         path = self._path(step)
         try:
             restored = self.checkpointer.restore(path, template)
-        except Exception:
+        except Exception as e:
             if template is None:
                 raise
             # template is a subtree of the saved state (e.g. a sampler
             # restoring only params from a trainer checkpoint that also
-            # carries opt_state/EMA): partial restore of just those leaves
-            with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
-                restored = ckptr.restore(
-                    path, args=ocp.args.PyTreeRestore(
-                        item=template, partial_restore=True))
+            # carries opt_state/EMA): partial restore of just those leaves.
+            # Only fall back when the template really IS a subtree of what
+            # was saved — otherwise (corrupt checkpoint, wrong template,
+            # sharding mismatch, ...) surface the original error rather than
+            # silently returning the template's own values.
+            try:
+                with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
+                    meta = ckptr.metadata(path)
+                    # orbax 0.11 StepMetadata carries the saved tree under
+                    # item_metadata (a TreeMetadata pytree of value metadata)
+                    tree = getattr(meta, "item_metadata", meta)
+                    saved_paths = {
+                        tuple(getattr(k, "key", getattr(k, "idx", k))
+                              for k in p)
+                        for p, _ in jax.tree_util.tree_flatten_with_path(
+                            tree)[0]}
+                    want = [tuple(getattr(k, "key", getattr(k, "idx", k))
+                                  for k in p)
+                            for p, _ in jax.tree_util.tree_flatten_with_path(
+                                template)[0]]
+                    missing = [p for p in want if p not in saved_paths]
+                    if missing:
+                        raise KeyError(
+                            f"template paths not in checkpoint: {missing[:3]}")
+                    restored = ckptr.restore(
+                        path, args=ocp.args.PyTreeRestore(
+                            item=template, partial_restore=True))
+            except Exception:
+                raise e
         return {"step": step, "state": restored}
 
     def _cleanup(self):

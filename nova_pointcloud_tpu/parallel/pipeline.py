@@ -137,15 +137,19 @@ def make_pipelined_apply(block_apply: Callable, num_stages: int, mesh: Mesh,
     """shard_map-wrapped GPipe runner over full arrays.
 
     Returns run(stacked_params, x): stacked_params (S, L/S, ...) sharded on
-    ``axis``; x (M, mb, T, D) microbatches, optionally sharded on
-    ``data_axis`` over mb. Differentiable in both arguments. ``remat``
+    ``axis``; x (M, mb, ...) microbatches (any rank >= 2), optionally sharded
+    on ``data_axis`` over mb. Differentiable in both arguments. ``remat``
     checkpoints per-block activations for flagship-depth training (see
     pipelined_apply). TP composes by closing a shard_map'd/sharded-matmul
     block_apply over a "tensor" mesh axis orthogonal to ``axis``.
     """
-    x_spec = P(None, data_axis, None, None)
+    if mesh.shape.get(axis, 0) != num_stages:
+        raise ValueError(
+            f"mesh axis {axis!r} has size {mesh.shape.get(axis)} but "
+            f"num_stages={num_stages}; the ppermute ring requires them equal")
 
     def run(stacked_params, x):
+        x_spec = P(None, data_axis, *([None] * (x.ndim - 2)))
         p_specs = jax.tree.map(
             lambda p: P(*([axis] + [None] * (p.ndim - 1))), stacked_params)
         fn = shard_map(
@@ -267,11 +271,15 @@ def make_circular_pipelined_apply(block_apply: Callable, num_stages: int,
     """shard_map-wrapped interleaved-pipeline runner over full arrays.
 
     run(stacked_params, x): stacked_params (S, V, L/(S*V), ...) from
-    stack_circular_params, sharded on ``axis``; x (M, mb, T, D).
+    stack_circular_params, sharded on ``axis``; x (M, mb, ...).
     """
-    x_spec = P(None, data_axis, None, None)
+    if mesh.shape.get(axis, 0) != num_stages:
+        raise ValueError(
+            f"mesh axis {axis!r} has size {mesh.shape.get(axis)} but "
+            f"num_stages={num_stages}; the ppermute ring requires them equal")
 
     def run(stacked_params, x):
+        x_spec = P(None, data_axis, *([None] * (x.ndim - 2)))
         p_specs = jax.tree.map(
             lambda p: P(*([axis] + [None] * (p.ndim - 1))), stacked_params)
         fn = shard_map(

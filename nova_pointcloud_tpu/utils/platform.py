@@ -8,6 +8,31 @@ the CPU platform before jax resolves its backends.
 
 import os
 
+_DEFAULT_CACHE_DIR = os.path.expanduser("~/.cache/nova_jax_cache")
+
+
+def enable_compilation_cache(cache_dir: str = None):
+    """Persistent XLA compilation cache (VERDICT r2 weak #4).
+
+    The flagship serving program compiles for ~10 minutes through the axon
+    relay on every fresh process; caching the serialized executable on disk
+    makes the second process start in seconds. Thresholds are zeroed so even
+    small programs (schedulers, checksums) cache — compile latency through
+    the relay is high regardless of program size.
+
+    Disable with NOVA_NO_COMPILE_CACHE=1 (e.g. when timing cold compiles).
+    """
+    if os.environ.get("NOVA_NO_COMPILE_CACHE"):
+        return
+    cache_dir = cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                            _DEFAULT_CACHE_DIR)
+    os.makedirs(cache_dir, exist_ok=True)
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 
 def ensure_cpu_if_forced():
     forced = (

@@ -180,9 +180,11 @@ def main():
     ap.add_argument("--host", default="127.0.0.1")
     args = ap.parse_args()
 
-    from nova_pointcloud_tpu.utils.platform import ensure_cpu_if_forced
+    from nova_pointcloud_tpu.utils.platform import (
+        enable_compilation_cache, ensure_cpu_if_forced)
 
     ensure_cpu_if_forced()
+    enable_compilation_cache()
     import time
 
     import jax

@@ -30,9 +30,11 @@ def main():
                          "weights at annealed-LR tails)")
     args = ap.parse_args()
 
-    from nova_pointcloud_tpu.utils.platform import ensure_cpu_if_forced
+    from nova_pointcloud_tpu.utils.platform import (
+        enable_compilation_cache, ensure_cpu_if_forced)
 
     ensure_cpu_if_forced()
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -28,9 +28,11 @@ def main():
     ap.add_argument("--checkpoint", default=None, help="orbax checkpoint dir")
     args = ap.parse_args()
 
-    from nova_pointcloud_tpu.utils.platform import ensure_cpu_if_forced
+    from nova_pointcloud_tpu.utils.platform import (
+        enable_compilation_cache, ensure_cpu_if_forced)
 
     ensure_cpu_if_forced()
+    enable_compilation_cache()
     import jax
 
     from nova_pointcloud_tpu.models.text_encoders.dummy import DummyTextEncoder

@@ -61,9 +61,11 @@ def main():
     ap.add_argument("--batch-size", type=int, default=16)
     args = ap.parse_args()
 
-    from nova_pointcloud_tpu.utils.platform import ensure_cpu_if_forced
+    from nova_pointcloud_tpu.utils.platform import (
+        enable_compilation_cache, ensure_cpu_if_forced)
 
     ensure_cpu_if_forced()
+    enable_compilation_cache()
     import numpy as np
 
     prompts = load_prompts(args.prompts)

@@ -13,9 +13,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
-    from nova_pointcloud_tpu.utils.platform import ensure_cpu_if_forced
+    from nova_pointcloud_tpu.utils.platform import (
+        enable_compilation_cache, ensure_cpu_if_forced)
 
     ensure_cpu_if_forced()
+    enable_compilation_cache()
     import jax
     import numpy as np
 

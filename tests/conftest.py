@@ -19,3 +19,9 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+
+# Persistent compilation cache: repeated suite runs skip recompiling the
+# heavy sharded/scan programs (utils/platform.enable_compilation_cache).
+from nova_pointcloud_tpu.utils.platform import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
