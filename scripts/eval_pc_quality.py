@@ -24,6 +24,9 @@ def main():
     ap.add_argument("--steps", type=int, default=25)
     ap.add_argument("--out", default="results/pc_quality_r2.json")
     ap.add_argument("--seed", type=int, default=123)
+    ap.add_argument("--latest", action="store_true",
+                    help="evaluate the latest periodic checkpoint even when "
+                         "a best-on-CD slot exists")
     ap.add_argument("--use-ema", action="store_true",
                     help="evaluate the EMA weights saved alongside params "
                          "(sampled quality tracks EMA better than the raw "
@@ -74,7 +77,11 @@ def main():
         template = {"params": params}
         if args.use_ema:
             template["ema"] = params
-        out = ckpt.restore(template=template)
+        # prefer the quality-selected slot (best sampled CD over EMA weights,
+        # scripts/train_pointcloud.py) over the latest periodic save
+        out = None if args.latest else ckpt.restore_best(template=template)
+        if out is None:
+            out = ckpt.restore(template=template)
         if out is None:
             raise SystemExit(f"no checkpoint under {args.checkpoint_dir}")
         params = out["state"]["ema" if args.use_ema else "params"]

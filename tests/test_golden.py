@@ -42,17 +42,21 @@ def test_t2pc_sampler_golden():
     params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, 64, 3)),
                                  jnp.zeros((1,), jnp.int32),
                                  jnp.zeros((1, 8, 32)))["params"]
+    # randomize the zero-init head so the golden pins MODEL numerics, not
+    # just the scheduler trajectory of the trivial predictor
+    params["output_proj"]["kernel"] = 0.02 * jax.random.normal(
+        jax.random.PRNGKey(3), params["output_proj"]["kernel"].shape)
     pipe = NOVAPointCloudGenerationPipeline(
         model, params, DDPMScheduler(beta_schedule="squaredcos_cap_v2"),
         text_encoder=DummyTextEncoder(32, 8))
     out = pipe(["golden"], num_points=64, num_diffusion_steps=4,
                guidance_scale=2.0, key=jax.random.PRNGKey(42)).point_clouds
-    # re-pinned after the relu parity fix (reference TransformerEncoderLayer
-    # default activation; commit history: round 2)
-    assert float(out.mean()) == pytest.approx(-0.4689947665, rel=RTOL)
-    assert float(out.std()) == pytest.approx(0.4399690330, rel=RTOL)
-    assert float(out[0, 0, 0]) == pytest.approx(0.0678201616, rel=0.05)
-    assert float(out[0, 33, 1]) == pytest.approx(-0.7979286909, rel=RTOL)
+    # re-pinned after the final-norm + zero-init head fix (round 3): a
+    # random-weight model now starts at the trivial (zero-eps) predictor
+    assert float(out.mean()) == pytest.approx(0.0294864327, rel=0.05)
+    assert float(out.std()) == pytest.approx(0.6227853298, rel=RTOL)
+    assert float(out[0, 0, 0]) == pytest.approx(-0.0567525700, rel=0.05)
+    assert float(out[0, 33, 1]) == pytest.approx(-0.4724294245, rel=RTOL)
 
 
 def test_scheduler_tables_golden():

@@ -21,6 +21,10 @@ def make_pc_model(patch_size=1, text_dim=32):
     t = jnp.zeros((2,), jnp.int32)
     text = jnp.zeros((2, 8, text_dim)) if text_dim else None
     params = jax.jit(model.init)(jax.random.PRNGKey(0), x, t, text)["params"]
+    # the output head is zero-init (trivial predictor at step 0); randomize
+    # it so random-weight behavioral tests see prompt/feature-dependent output
+    params["output_proj"]["kernel"] = 0.02 * jax.random.normal(
+        jax.random.PRNGKey(3), params["output_proj"]["kernel"].shape)
     return model, params
 
 

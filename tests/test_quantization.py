@@ -46,6 +46,9 @@ def test_quantized_model_close_to_bf16():
     t = jnp.array([100, 500])
     text = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 32))
     params = jax.jit(m_f.init)(jax.random.PRNGKey(2), x, t, text)["params"]
+    # zero-init head would zero both outputs (0/0 rel); randomize it
+    params["output_proj"]["kernel"] = 0.02 * jax.random.normal(
+        jax.random.PRNGKey(3), params["output_proj"]["kernel"].shape)
     ref = m_f.apply({"params": params}, x, t, text)
     out = m_q.apply({"params": params}, x, t, text)
     rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
