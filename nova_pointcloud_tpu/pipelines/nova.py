@@ -41,7 +41,7 @@ class NOVAPipeline:
     """Orchestrates a NOVATransformer + schedulers + (optional) VAE/encoder."""
 
     def __init__(self, model: NOVATransformer, params, scheduler,
-                 vae=None, vae_params=None, text_encoder=None):
+                 vae=None, vae_params=None, text_encoder=None, mesh=None):
         from nova_pointcloud_tpu.utils.image_processor import VaeImageProcessor
 
         self.model = model
@@ -50,6 +50,11 @@ class NOVAPipeline:
         self.vae = vae
         self.image_processor = VaeImageProcessor(vae, vae_params)
         self.text_encoder = text_encoder
+        # multi-chip inference (BASELINE north-star: "shards the d48
+        # transformer over ICI for the 1.4B model"): Megatron TP specs on
+        # the scanned ViT stacks + batch on "data" inside the jitted
+        # sampler; XLA places the qkv/MLP all-reduces on ICI.
+        self.mesh = mesh
         self._samplers: Dict[Tuple, Any] = {}
         # jit everything touching params: eager dispatch is slow on TPU hosts
         self._embed_text = jax.jit(
@@ -222,7 +227,20 @@ class NOVAPipeline:
             rest = jnp.moveaxis(rest, 0, 1)  # (B, T-1, Ni, pd)
             return jnp.concatenate([latent0[:, None], rest], axis=1)
 
-        return jax.jit(sample)
+        if self.mesh is None:
+            return jax.jit(sample)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from nova_pointcloud_tpu.parallel.sharding import (batch_sharding,
+                                                           param_sharding)
+        mesh = self.mesh
+        rep = NamedSharding(mesh, P())
+        p_shard = param_sharding(self.params, mesh)
+        in_sh = [p_shard, batch_sharding(mesh, 3), rep]
+        if prefill:
+            in_sh.append(batch_sharding(mesh, 3))
+        return jax.jit(sample, in_shardings=tuple(in_sh),
+                       out_shardings=batch_sharding(mesh, 4))
 
     def _get_sampler(self, **kw):
         key = tuple(sorted((k, str(v)) for k, v in kw.items()))
@@ -262,6 +280,12 @@ class NOVAPipeline:
             min_guidance_scale=min_guidance_scale)
         c = self.encode_prompt(prompt, negative_prompt, guidance,
                                num_images_per_prompt, prompt_embeds)
+        if self.mesh is not None:
+            # _embed_text committed c to one device; re-place it on the mesh
+            # (jit in_shardings refuses committed args with foreign layout)
+            from nova_pointcloud_tpu.parallel.sharding import batch_sharding
+
+            c = jax.device_put(c, batch_sharding(self.mesh, 3))
         batch = c.shape[0] // guidance.num_passes
         prefill = latents is not None
         sampler = self._get_sampler(
@@ -273,7 +297,8 @@ class NOVAPipeline:
             from nova_pointcloud_tpu.models.embeddings import patchify
 
             latents0 = patchify(jnp.asarray(latents), self.model.patch_size)
-            out = sampler(self.params, c, key, latents0=latents0)
+            # positional: jit in_shardings (mesh mode) bind positionally
+            out = sampler(self.params, c, key, latents0)
         else:
             out = sampler(self.params, c, key)
         # (B, T, Ni, pd) -> (B, T, H, W, C) latent frames

@@ -42,7 +42,7 @@ class NOVAPointCloudGenerationPipeline:
 
     def __init__(self, model: NOVAPointCloudTransformer, params,
                  scheduler: Optional[DDPMScheduler] = None, text_encoder=None,
-                 ar_refiner=None, ar_params=None, normalizer=None):
+                 ar_refiner=None, ar_params=None, normalizer=None, mesh=None):
         self.model = model
         self.params = params
         self.scheduler = scheduler or DDPMScheduler(beta_schedule="squaredcos_cap_v2")
@@ -50,6 +50,11 @@ class NOVAPointCloudGenerationPipeline:
         self.ar_refiner = ar_refiner
         self.ar_params = ar_params
         self.normalizer = normalizer  # data.shapenet.GlobalNormalizer or None
+        # multi-chip serving (BASELINE north-star: "multi-chip inference
+        # shards the transformer over ICI"): Megatron TP over the scanned
+        # block stack + the batch on "data", all inside the one jitted
+        # sampler. XLA inserts the per-layer all-reduces on ICI.
+        self.mesh = mesh
         self._samplers: Dict[Tuple, Any] = {}
 
     # -- samplers ---------------------------------------------------------------
@@ -109,7 +114,21 @@ class NOVAPointCloudGenerationPipeline:
             colors = jnp.clip(colors + 0.1 * jax.random.normal(k_col, x.shape), 0, 1)
             return x, colors
 
-        return jax.jit(sample)
+        if self.mesh is None:
+            return jax.jit(sample)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from nova_pointcloud_tpu.parallel.sharding import (batch_sharding,
+                                                           param_sharding)
+        mesh = self.mesh
+        rep = NamedSharding(mesh, P())
+        p_shard = param_sharding(self.params, mesh)
+        ar_shard = (None if self.ar_params is None
+                    else jax.tree.map(lambda _: rep, self.ar_params))
+        b3 = batch_sharding(mesh, 3)
+        return jax.jit(sample,
+                       in_shardings=(p_shard, ar_shard, b3, rep, rep),
+                       out_shardings=(b3, b3))
 
     def _ar_refine(self, ar_params, x: jax.Array, num_subsets: int,
                    key: jax.Array) -> jax.Array:
