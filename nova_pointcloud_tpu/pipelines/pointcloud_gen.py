@@ -60,7 +60,9 @@ class NOVAPointCloudGenerationPipeline:
     # -- samplers ---------------------------------------------------------------
     def _make_sampler(self, batch: int, num_points: int, steps: int,
                       use_cfg: bool, use_ar: bool, num_subsets: int,
-                      postprocess: str = "standard"):
+                      postprocess: str = "standard",
+                      deterministic: bool = False,
+                      with_latents: bool = False):
         model, scheduler = self.model, self.scheduler
         sched = scheduler.set_timesteps(steps)
         ts = jnp.asarray(sched.timesteps, jnp.int32)
@@ -68,9 +70,11 @@ class NOVAPointCloudGenerationPipeline:
         prequantize = (getattr(model, "quantize", False)
                        and jax.default_backend() == "tpu")
 
-        def sample(params, ar_params, text_raw, guidance_scale, key):
+        def sample(params, ar_params, text_raw, guidance_scale, key,
+                   latents=None):
             k_init, k_loop, k_post, k_col, k_ar = jax.random.split(key, 5)
-            x = jax.random.normal(k_init, (batch, num_points, 3), jnp.float32)
+            x = (latents if with_latents else
+                 jax.random.normal(k_init, (batch, num_points, 3), jnp.float32))
             x = x * scheduler.init_noise_sigma
 
             variables = {"params": params}
@@ -92,7 +96,11 @@ class NOVAPointCloudGenerationPipeline:
                 if use_cfg:
                     uncond, cond = jnp.split(pred, 2, axis=0)
                     pred = uncond + guidance_scale * (cond - uncond)
-                x = scheduler.step(pred, t, x, key=kd, schedule=sched)
+                # deterministic: zero-variance reverse step (key=None), for
+                # reproducible serving + torch pipeline-parity tests
+                x = scheduler.step(pred, t, x,
+                                   key=None if deterministic else kd,
+                                   schedule=sched)
                 return (x, key), None
 
             (x, _), _ = jax.lax.scan(body, (x, k_loop), jnp.arange(steps))
@@ -103,7 +111,8 @@ class NOVAPointCloudGenerationPipeline:
             elif postprocess == "standard":
                 # pipeline path: tanh + structured noise + clamp (`:284-293`)
                 x = jnp.tanh(x)
-                x = x + 0.1 * jax.random.normal(k_post, x.shape)
+                if not deterministic:
+                    x = x + 0.1 * jax.random.normal(k_post, x.shape)
                 x = jnp.clip(x, -1.0, 1.0)
             else:
                 # eval path: the reference's own quality evaluator clamps to
@@ -111,7 +120,9 @@ class NOVAPointCloudGenerationPipeline:
                 # tanh systematically shrinks geometry vs unit-std data
                 x = jnp.clip(x, -2.0, 2.0)
             colors = jnp.clip(jnp.abs(x), 0, 1)
-            colors = jnp.clip(colors + 0.1 * jax.random.normal(k_col, x.shape), 0, 1)
+            if not deterministic:
+                colors = jnp.clip(
+                    colors + 0.1 * jax.random.normal(k_col, x.shape), 0, 1)
             return x, colors
 
         if self.mesh is None:
@@ -126,8 +137,10 @@ class NOVAPointCloudGenerationPipeline:
         ar_shard = (None if self.ar_params is None
                     else jax.tree.map(lambda _: rep, self.ar_params))
         b3 = batch_sharding(mesh, 3)
-        return jax.jit(sample,
-                       in_shardings=(p_shard, ar_shard, b3, rep, rep),
+        in_sh = [p_shard, ar_shard, b3, rep, rep]
+        if with_latents:
+            in_sh.append(b3)
+        return jax.jit(sample, in_shardings=tuple(in_sh),
                        out_shardings=(b3, b3))
 
     def _ar_refine(self, ar_params, x: jax.Array, num_subsets: int,
@@ -203,6 +216,8 @@ class NOVAPointCloudGenerationPipeline:
         output_type: str = "numpy",
         denormalize: bool = False,
         postprocess: str = "standard",  # "standard" (`:284-293`) | "eval"
+        deterministic: bool = False,  # zero-variance DDPM, no added noise
+        latents: Optional[jax.Array] = None,  # (B, N, 3) pre-drawn x_T
     ) -> NOVAPointCloudPipelineOutput:
         if isinstance(prompt, str):
             prompt = [prompt]
@@ -217,10 +232,13 @@ class NOVAPointCloudGenerationPipeline:
         sampler = self._get_sampler(
             batch=batch, num_points=num_points, steps=num_diffusion_steps,
             use_cfg=use_cfg, use_ar=use_autoregressive,
-            num_subsets=num_subsets, postprocess=postprocess)
-        points, colors = sampler(self.params, self.ar_params,
-                                 jnp.asarray(prompt_embeds),
-                                 jnp.float32(guidance_scale), key)
+            num_subsets=num_subsets, postprocess=postprocess,
+            deterministic=deterministic, with_latents=latents is not None)
+        args = (self.params, self.ar_params, jnp.asarray(prompt_embeds),
+                jnp.float32(guidance_scale), key)
+        if latents is not None:
+            args = args + (jnp.asarray(latents),)
+        points, colors = sampler(*args)
         if denormalize and self.normalizer is not None:
             points = self.normalizer.denormalize(points)
         if output_type == "numpy":
