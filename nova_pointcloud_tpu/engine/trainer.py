@@ -75,7 +75,11 @@ class Trainer:
         self.params = params
 
         self.ema = ema_init(params, ema_decay, ema_every) if ema_decay else None
-        self._ema_update = jax.jit(ema_update) if ema_decay else None
+        # donate the old shadow tree: at flagship scale (612M fp32) the
+        # update would otherwise hold old+new EMA (2x2.45GB) while the next
+        # train step's transients are already in flight -> OOM on v5e
+        self._ema_update = (jax.jit(ema_update, donate_argnums=(0,))
+                            if ema_decay else None)
 
         self.ckpt = CheckpointManager(output_dir) if output_dir else None
         if resume and self.ckpt is not None:

@@ -86,6 +86,7 @@ class NOVATransformer(nn.Module):
     attn_impl: str = "auto"
     quantize: bool = False  # int8 fused-MLP serving in both ViTs (vit.Block)
     dtype: Any = None
+    pp_runner: Any = None  # pipeline-parallel stack runner (training)
 
     # -- derived sizes ------------------------------------------------------
     @property
@@ -135,11 +136,13 @@ class NOVATransformer(nn.Module):
         self.video_encoder = VisionTransformer(dv, wv, hv, remat=self.remat,
                                                attn_impl=self.attn_impl,
                                                quantize=self.quantize,
-                                               dtype=self.dtype)
+                                               dtype=self.dtype,
+                                               pp_runner=self.pp_runner)
         self.image_encoder = VisionTransformer(di, wi, hi, remat=self.remat,
                                                attn_impl=self.attn_impl,
                                                quantize=self.quantize,
-                                               dtype=self.dtype)
+                                               dtype=self.dtype,
+                                               pp_runner=self.pp_runner)
         self.image_decoder = DiffusionMLP(dd, wd, cond_dim=wi,
                                           out_dim=self.patch_dim,
                                           quantize=self.quantize,

@@ -282,9 +282,25 @@ class BlockStack(nn.Module):
     quantize: bool = False
     attn_impl: str = "auto"
     dtype: Any = None
+    pp_runner: Any = None  # parallel/stack_runner.StackRunner (training PP)
 
     @nn.compact
     def __call__(self, h: jax.Array, deterministic: bool = True) -> jax.Array:
+        if self.pp_runner is not None and not self.is_initializing():
+            # pipeline-parallel path: hand the scanned stack's (depth, ...)
+            # params to the GPipe/interleaved runner. Dropout is disabled
+            # here — PP training runs the blocks deterministically (the
+            # schedule replays blocks across microbatches; per-call rng
+            # threading through the ring is not supported).
+            depth_params = self.variables["params"]["layers"]["block"]
+            dim, heads = self.dim, self.num_heads
+            impl, dtype = self.attn_impl, self.dtype
+
+            def block_apply(p, hh):
+                return PreLNBlock(dim, heads, dropout=0.0, attn_impl=impl,
+                                  dtype=dtype).apply({"params": p}, hh, True)
+
+            return self.pp_runner(block_apply, depth_params, h)
         body = nn.scan(
             _ScanBlockBody,
             variable_axes={"params": 0, "qparams": 0},
@@ -311,6 +327,7 @@ class NOVAPointCloudTransformer(nn.Module):
     quantize: bool = False  # int8 MLP serving path (fused Pallas on TPU)
     attn_impl: str = "auto"  # ops/attention dispatcher policy
     dtype: Any = None
+    pp_runner: Any = None  # pipeline-parallel stack runner (training)
 
     @property
     def num_tokens(self) -> int:
@@ -355,6 +372,7 @@ class NOVAPointCloudTransformer(nn.Module):
         h = BlockStack(depth, dim, heads, dropout=self.dropout,
                        remat=self.remat, quantize=self.quantize,
                        attn_impl=self.attn_impl, dtype=self.dtype,
+                       pp_runner=self.pp_runner,
                        name="blocks")(h, deterministic)
 
         # Final LayerNorm + zero-init head. The reference's post-LN

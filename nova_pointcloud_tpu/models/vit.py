@@ -166,12 +166,34 @@ class VisionTransformer(nn.Module):
     remat: bool = False
     quantize: bool = False  # int8 fused MLP serving path (see Block)
     dtype: Any = None
+    pp_runner: Any = None  # pipeline-parallel stack runner (training)
 
     @property
     def enc_depth(self) -> int:
         return self.depth // 2 if self.encoder_depth is None else self.encoder_depth
 
     def _stack(self, name: str, length: int, h, bias, rope, cache, cache_index):
+        if (self.pp_runner is not None and cache is None
+                and not self.is_initializing()):
+            # pipeline-parallel path (training / no KV caches): run the
+            # scanned stack through the GPipe/interleaved ppermute ring.
+            # bias rides per-microbatch when batch-leading; rope broadcasts.
+            depth_params = self.variables["params"][name]["block"]
+            has_bias, has_rope = bias is not None, rope is not None
+            extras = ([bias] if has_bias else []) + (list(rope) if has_rope
+                                                     else [])
+            dim, heads, ratio = self.embed_dim, self.num_heads, self.mlp_ratio
+            impl, dtype = self.attn_impl, self.dtype
+
+            def block_apply(p, hh, *ex):
+                b = ex[0] if has_bias else None
+                r = tuple(ex[1 if has_bias else 0:]) if has_rope else None
+                out, _ = Block(dim, heads, ratio, attn_impl=impl,
+                               dtype=dtype).apply({"params": p}, hh, b, r,
+                                                  None, None)
+                return out
+
+            return self.pp_runner(block_apply, depth_params, h, extras), None
         body = nn.scan(
             _ViTScanBody,
             variable_axes={"params": 0, "qparams": 0},

@@ -36,7 +36,19 @@ def sdpa(q: jax.Array, k: jax.Array, v: jax.Array,
 
 def attention(q: jax.Array, k: jax.Array, v: jax.Array,
               bias: Optional[jax.Array] = None, impl: str = "auto") -> jax.Array:
-    """Dispatch to the best attention implementation for the platform."""
+    """Dispatch to the best attention implementation for the platform.
+
+    impl: "auto" (Pallas flash at long sequences on TPU, else XLA SDPA),
+    "pallas", "sdpa"/"xla", or "ring"/"ring:<axis>" — sequence-parallel
+    ring attention over the ambient mesh's <axis> (default "sequence"),
+    for t2v token counts that outgrow one chip (parallel/ring_attention).
+    """
+    if impl.startswith("ring"):
+        from nova_pointcloud_tpu.parallel.ring_attention import (
+            ring_attention_auto)
+
+        axis = impl.split(":", 1)[1] if ":" in impl else "sequence"
+        return ring_attention_auto(q, k, v, bias=bias, axis=axis)
     if impl in ("auto", "pallas") and _use_pallas(q, k, bias, impl):
         from nova_pointcloud_tpu.ops.pallas.flash_attention import flash_attention
 

@@ -73,7 +73,7 @@ def stage_param_sharding(stacked_params, mesh: Mesh, axis: str = "pipe"):
     return jax.tree.map(spec, stacked_params)
 
 
-def pipelined_apply(block_apply: Callable, stage_params, x, *,
+def pipelined_apply(block_apply: Callable, stage_params, x, extras=(), *,
                     num_stages: int, axis: str = "pipe",
                     remat: bool = False):
     """Run the GPipe schedule inside ``shard_map``.
@@ -89,6 +89,12 @@ def pipelined_apply(block_apply: Callable, stage_params, x, *,
     (the per-layer intermediates are recomputed in the backward pass) —
     without it, grad-of-pipeline stores every layer's activations for every
     in-flight microbatch.
+
+    extras: tuple of side inputs every block consumes alongside h (attention
+    bias, rope tables, ...), each with a leading (M,) microbatch axis —
+    block_apply(layer_params, h, *extra_slices). At tick t, stage s indexes
+    its OWN in-flight microbatch (t - s), so per-sample extras stay aligned
+    with the activations flowing through the ring.
     """
     local = jax.tree.map(lambda p: p[0], stage_params)  # (L/S, ...)
     s = jax.lax.axis_index(axis)
@@ -97,9 +103,9 @@ def pipelined_apply(block_apply: Callable, stage_params, x, *,
     perm = [(i, (i + 1) % num_stages) for i in range(num_stages)]
     apply_one = jax.checkpoint(block_apply) if remat else block_apply
 
-    def stage_fn(h):
+    def stage_fn(h, ex):
         def body(h, layer_params):
-            return apply_one(layer_params, h), None
+            return apply_one(layer_params, h, *ex), None
 
         h, _ = jax.lax.scan(body, h, local)
         return h
@@ -110,7 +116,11 @@ def pipelined_apply(block_apply: Callable, stage_params, x, *,
         x_in = jax.lax.dynamic_index_in_dim(
             x, jnp.clip(t, 0, num_micro - 1), 0, keepdims=False)
         h_in = jnp.where(s == 0, x_in, h_prev)
-        h_out = stage_fn(h_in)
+        m_idx = jnp.clip(t - s, 0, num_micro - 1)
+        ex = jax.tree.map(
+            lambda e: jax.lax.dynamic_index_in_dim(e, m_idx, 0,
+                                                   keepdims=False), extras)
+        h_out = stage_fn(h_in, ex)
         # the last stage owns microbatch t-(S-1) at tick t
         o_idx = jnp.clip(t - (num_stages - 1), 0, num_micro - 1)
         write = jnp.logical_and(s == num_stages - 1, t >= num_stages - 1)
@@ -148,15 +158,24 @@ def make_pipelined_apply(block_apply: Callable, num_stages: int, mesh: Mesh,
             f"mesh axis {axis!r} has size {mesh.shape.get(axis)} but "
             f"num_stages={num_stages}; the ppermute ring requires them equal")
 
-    def run(stacked_params, x):
+    def run(stacked_params, x, *extras):
         x_spec = P(None, data_axis, *([None] * (x.ndim - 2)))
         p_specs = jax.tree.map(
             lambda p: P(*([axis] + [None] * (p.ndim - 1))), stacked_params)
+        # extras ride with the microbatch they belong to: (M, mb, ...) gets
+        # mb sharded like x; microbatch-invariant extras (M, 1, ...) or
+        # lower-rank stay replicated
+        ex_specs = jax.tree.map(
+            lambda e: P(None, data_axis, *([None] * (e.ndim - 2)))
+            if e.ndim >= 2 and e.shape[1] == x.shape[1]
+            else P(*([None] * e.ndim)), extras)
         fn = shard_map(
-            partial(pipelined_apply, block_apply, num_stages=num_stages,
-                    axis=axis, remat=remat),
-            mesh=mesh, in_specs=(p_specs, x_spec), out_specs=x_spec)
-        return fn(stacked_params, x)
+            lambda p, xx, ex: pipelined_apply(
+                block_apply, p, xx, ex, num_stages=num_stages, axis=axis,
+                remat=remat),
+            mesh=mesh, in_specs=(p_specs, x_spec, ex_specs),
+            out_specs=x_spec)
+        return fn(stacked_params, x, tuple(extras))
 
     return run
 
@@ -196,7 +215,8 @@ def stack_circular_params(params, num_stages: int, num_chunks: int):
     return jax.tree.map(reshape, params)
 
 
-def circular_pipelined_apply(block_apply: Callable, stage_params, x, *,
+def circular_pipelined_apply(block_apply: Callable, stage_params, x,
+                             extras=(), *,
                              num_stages: int, num_chunks: int,
                              axis: str = "pipe", remat: bool = False):
     """Interleaved ("circular") pipeline schedule inside ``shard_map``.
@@ -225,13 +245,13 @@ def circular_pipelined_apply(block_apply: Callable, stage_params, x, *,
     perm = [(i, (i + 1) % S) for i in range(S)]
     apply_one = jax.checkpoint(block_apply) if remat else block_apply
 
-    def chunk_fn(h, v):
+    def chunk_fn(h, v, ex):
         chunk_params = jax.tree.map(
             lambda p: jax.lax.dynamic_index_in_dim(p, v, 0, keepdims=False),
             local)
 
         def body(h, layer_params):
-            return apply_one(layer_params, h), None
+            return apply_one(layer_params, h, *ex), None
 
         h, _ = jax.lax.scan(body, h, chunk_params)
         return h
@@ -248,7 +268,10 @@ def circular_pipelined_apply(block_apply: Callable, stage_params, x, *,
         x_in = jax.lax.dynamic_index_in_dim(x, m_c, 0, keepdims=False)
         ingest = jnp.logical_and(s == 0, v == 0)
         h_in = jnp.where(ingest, x_in, h_prev)
-        h_out = chunk_fn(h_in, v)
+        ex = jax.tree.map(
+            lambda e: jax.lax.dynamic_index_in_dim(e, m_c, 0,
+                                                   keepdims=False), extras)
+        h_out = chunk_fn(h_in, v, ex)
         write = jnp.logical_and(
             jnp.logical_and(s == S - 1, v == V - 1), active)
         out = jnp.where(
@@ -278,15 +301,20 @@ def make_circular_pipelined_apply(block_apply: Callable, num_stages: int,
             f"mesh axis {axis!r} has size {mesh.shape.get(axis)} but "
             f"num_stages={num_stages}; the ppermute ring requires them equal")
 
-    def run(stacked_params, x):
+    def run(stacked_params, x, *extras):
         x_spec = P(None, data_axis, *([None] * (x.ndim - 2)))
         p_specs = jax.tree.map(
             lambda p: P(*([axis] + [None] * (p.ndim - 1))), stacked_params)
+        ex_specs = jax.tree.map(
+            lambda e: P(None, data_axis, *([None] * (e.ndim - 2)))
+            if e.ndim >= 2 and e.shape[1] == x.shape[1]
+            else P(*([None] * e.ndim)), extras)
         fn = shard_map(
-            partial(circular_pipelined_apply, block_apply,
-                    num_stages=num_stages, num_chunks=num_chunks, axis=axis,
-                    remat=remat),
-            mesh=mesh, in_specs=(p_specs, x_spec), out_specs=x_spec)
-        return fn(stacked_params, x)
+            lambda p, xx, ex: circular_pipelined_apply(
+                block_apply, p, xx, ex, num_stages=num_stages,
+                num_chunks=num_chunks, axis=axis, remat=remat),
+            mesh=mesh, in_specs=(p_specs, x_spec, ex_specs),
+            out_specs=x_spec)
+        return fn(stacked_params, x, tuple(extras))
 
     return run

@@ -94,3 +94,62 @@ def make_ring_attention(mesh, axis_name: str = "sequence"):
         return ring_attention(q, k, v, axis_name)
 
     return run
+
+
+def _context_mesh():
+    """The Mesh from an enclosing ``with mesh:`` block, or None."""
+    try:
+        from jax._src.mesh import thread_resources
+
+        m = thread_resources.env.physical_mesh
+        return m if m.devices.size else None
+    except Exception:  # pragma: no cover - jax internals moved
+        return None
+
+
+def ring_attention_auto(q: jax.Array, k: jax.Array, v: jax.Array,
+                        bias: Optional[jax.Array] = None,
+                        axis: str = "sequence", mesh=None) -> jax.Array:
+    """Config-selectable entry (ops/attention impl="ring"): shard q/k/v on
+    the ``axis`` of the ambient mesh and run the ring. Falls back to a
+    single-device softmax when no mesh with that axis is active, so the
+    same model config runs unsharded on one chip.
+
+    bias: full additive bias broadcastable to (B, H, L, L), replicated;
+    each device slices its (q-shard, ring-source k-shard) tile per hop —
+    this is how the t2v block-causal mask rides the ring.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    mesh = mesh if mesh is not None else _context_mesh()
+    p = 1 if mesh is None else int(mesh.shape.get(axis, 1))
+    if p <= 1:
+        # no sequence axis: plain fused softmax attention
+        from nova_pointcloud_tpu.ops.attention import sdpa
+
+        return sdpa(q, k, v, bias)
+    if q.shape[2] % p:
+        raise ValueError(f"sequence length {q.shape[2]} not divisible by "
+                         f"mesh axis {axis!r} of size {p}")
+    spec = P(None, None, axis, None)
+    ls = q.shape[2] // p
+    if bias is None:
+        return make_ring_attention(mesh, axis)(q, k, v)
+    bias = jnp.broadcast_to(
+        bias, (bias.shape[0], bias.shape[1], q.shape[2], q.shape[2]))
+    b_spec = P(None, None, None, None)
+
+    @partial(shard_map, mesh=mesh, in_specs=(spec, spec, spec, b_spec),
+             out_specs=spec, check_rep=False)
+    def run(q, k, v, bias):
+        me = jax.lax.axis_index(axis)
+
+        def bias_fn(src):
+            return jax.lax.dynamic_slice(
+                bias, (0, 0, me * ls, src * ls),
+                (bias.shape[0], bias.shape[1], ls, ls))
+
+        return ring_attention(q, k, v, axis, bias_fn=bias_fn)
+
+    return run(q, k, v, bias)

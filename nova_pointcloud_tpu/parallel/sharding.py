@@ -34,7 +34,8 @@ def tp_spec_for_param(path_str: str, value: jax.Array, mesh: Mesh,
     Everything else replicated.
     """
     size = mesh.shape.get(axis, 1)
-    if size <= 1 or value.ndim < 2:
+    pipe_size = mesh.shape.get("pipe", 1)
+    if (size <= 1 and pipe_size <= 1) or value.ndim < 2:
         return P()
     # only shard the transformer block stacks; tiny embed MLPs (time/pos/text
     # projections) would just force resharding churn
@@ -42,17 +43,28 @@ def tp_spec_for_param(path_str: str, value: jax.Array, mesh: Mesh,
                  or "/block/" in path_str)
     if not in_blocks:
         return P()
-    col = any(f"{n}/kernel" in path_str for n in
-              ("qkv", "fc1", "query", "key", "value"))
-    row = ("proj/kernel" in path_str and "attn" in path_str) or \
-        ("fc2/kernel" in path_str) or ("out/kernel" in path_str)
+    col = (any(f"{n}/kernel" in path_str for n in
+               ("qkv", "fc1", "query", "key", "value")) and size > 1)
+    row = (("proj/kernel" in path_str and "attn" in path_str) or
+           ("fc2/kernel" in path_str) or ("out/kernel" in path_str)) \
+        and size > 1
     # kernels may carry a leading (depth,) axis from nn.scan block stacks:
     # column-parallel = last dim (output features), row-parallel = second-to-
-    # last dim (input features) either way.
+    # last dim (input features) either way. When the mesh has a "pipe" axis
+    # (pipeline parallelism, parallel/stack_runner), the depth axis itself
+    # is sharded over it — each stage's devices then hold only their own
+    # layers, composing PP x TP x DP at the parameter level.
+    lead = ("pipe" if (pipe_size > 1 and value.ndim >= 2
+                       and value.shape[0] % pipe_size == 0) else None)
+    spec = [None] * value.ndim
     if col and value.shape[-1] % size == 0:
-        return P(*([None] * (value.ndim - 1) + [axis]))
-    if row and value.shape[-2] % size == 0:
-        return P(*([None] * (value.ndim - 2) + [axis, None]))
+        spec[-1] = axis
+    elif row and value.shape[-2] % size == 0:
+        spec[-2] = axis
+    if lead is not None and spec[0] is None:
+        spec[0] = lead
+    if any(spec):
+        return P(*spec)
     return P()
 
 

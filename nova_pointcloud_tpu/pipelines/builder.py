@@ -19,8 +19,26 @@ from nova_pointcloud_tpu.schedulers.builder import build_scheduler
 from nova_pointcloud_tpu.utils.config import Config
 
 
+def build_pp_runner(config: Dict, mesh) -> Any:
+    """StackRunner from a ``mesh: {pipe: N, ...}`` config, else None.
+
+    Training-config knobs (``training:``): pp_num_micro (default 2x pipe),
+    pp_num_chunks (>1 selects the interleaved/circular schedule).
+    """
+    if mesh is None or mesh.shape.get("pipe", 1) <= 1:
+        return None
+    from nova_pointcloud_tpu.parallel.stack_runner import make_stack_runner
+
+    tcfg = dict(config.get("training", {}))
+    return make_stack_runner(
+        mesh,
+        num_micro=int(tcfg.get("pp_num_micro", 0)) or None,
+        num_chunks=int(tcfg.get("pp_num_chunks", 1)),
+        remat=bool(tcfg.get("gradient_checkpointing", 1)))
+
+
 def build_transformer(cfg: Dict, noise_scheduler=None,
-                      dtype=None) -> NOVATransformer:
+                      dtype=None, pp_runner=None) -> NOVATransformer:
     """Build a NOVATransformer from a reference-style transformer config.
 
     Accepts the reference's fields (`configs/nova_d48w1024_sdxl1024.yaml`):
@@ -45,7 +63,9 @@ def build_transformer(cfg: Dict, noise_scheduler=None,
         loss_repeat=cfg.pop("loss_repeat", 4),
         noise_scheduler=noise_scheduler,
         remat=bool(cfg.pop("gradient_checkpointing", 0)),
+        attn_impl=cfg.pop("attn_impl", "auto"),  # "ring[:axis]" = SP t2v
         dtype=dtype,
+        pp_runner=pp_runner,
     )
 
 
@@ -67,17 +87,20 @@ def init_transformer(model: NOVATransformer, seed: int = 0,
 
 
 def build_pipeline(config: Dict, params=None, seed: int = 0,
-                   dtype=None) -> Tuple[Any, Any]:
+                   dtype=None, mesh=None) -> Tuple[Any, Any]:
     """Build (pipeline, params) from a top-level config.
 
     config["pipeline"]["name"]: one of the PIPELINES registry names or
     "NOVAPipeline"/"NOVAC2IPipeline"/"NOVAPointCloudGenerationPipeline".
+    ``mesh`` with a pipe axis > 1 routes the model's scanned stacks through
+    the pipeline-parallel runner (training).
     """
     config = Config.wrap(config)
     pipe_name = config["pipeline"].get("name", "NOVAPipeline")
     sched_cfg = dict(config.get("scheduler", {}))
     noise_sched = build_scheduler(sched_cfg, "noise")
     sample_sched = build_scheduler(sched_cfg, "sample")
+    pp_runner = build_pp_runner(config, mesh)
 
     if "PointCloud" in pipe_name:
         mcfg = dict(config["model"])
@@ -86,6 +109,7 @@ def build_pipeline(config: Dict, params=None, seed: int = 0,
             point_cloud_size=mcfg.get("point_cloud_size", 2048),
             patch_size=mcfg.get("patch_size", 1),
             text_token_dim=mcfg.get("text_token_dim", 256),
+            pp_runner=pp_runner,
             dtype=dtype)
         if params is None:
             x = jnp.zeros((1, model.point_cloud_size, 3))
@@ -100,9 +124,17 @@ def build_pipeline(config: Dict, params=None, seed: int = 0,
 
         return NOVAPointCloudGenerationPipeline(model, params, noise_sched), params
 
-    model = build_transformer(dict(config["model"]), noise_sched, dtype)
+    model = build_transformer(dict(config["model"]), noise_sched, dtype,
+                              pp_runner=pp_runner)
     if params is None:
-        params = init_transformer(model, seed)
+        # init on the PLAIN model: params must materialize the scanned
+        # layout before the PP runner can consume them (the runner branch
+        # in the stacks is guarded by is_initializing(), but init without a
+        # live mesh context must not trace shard_map at all)
+        plain = (build_transformer(dict(config["model"]), noise_sched,
+                                   dtype, pp_runner=None)
+                 if pp_runner else model)
+        params = init_transformer(plain, seed)
 
     if pipe_name == "NOVAC2IPipeline":
         from nova_pointcloud_tpu.pipelines.nova_c2i import NOVAC2IPipeline

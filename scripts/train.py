@@ -53,7 +53,9 @@ def main():
         schedule = constant_lr(lr, int(lcfg.get("warmup_steps", 0)))
 
     # Build model + params first so the optimizer can mask/group them.
-    pipe, params = build_pipeline(cfg, seed=seed)
+    # A ``mesh: {pipe: N}`` axis routes scanned stacks through the
+    # pipeline-parallel runner (pipelines/builder.build_pp_runner).
+    pipe, params = build_pipeline(cfg, seed=seed, mesh=mesh)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     logger.info("params: %.1fM", n_params / 1e6)
 

@@ -92,3 +92,66 @@ def test_grad_flows(mesh):
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-5, rtol=5e-5)
+
+
+# -- product path (VERDICT r2 next #5): impl="ring" from the dispatcher ------
+
+def test_dispatcher_ring_matches_sdpa_at_osp480_tokens(mesh):
+    """ops.attention(impl="ring:sequence") under an active mesh == SDPA at
+    the t2v osp480 sequence length (9 frames x 360 video tokens + 256 text
+    = 3496 tokens) with the block-causal bias sliced per ring hop."""
+    from nova_pointcloud_tpu.ops.attention import attention
+
+    l, nv, text = 3496, 360, 256
+    q, k, v = _qkv(l=l, d=8, h=1, b=1, seed=11)
+    # t2v block-causal mask: text prefix visible to all, frame t attends
+    # frames <= t (models/masking semantics, built directly here)
+    frame = jnp.maximum(jnp.arange(l) - text, 0) // nv
+    causal = frame[:, None] >= frame[None, :]
+    is_text = (jnp.arange(l) < text)[None, :]
+    bias = jnp.where(causal | is_text, 0.0, -1e30)[None, None]
+    with mesh:
+        out = attention(q, k, v, bias=bias, impl="ring:sequence")
+    ref = sdpa(q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-5, rtol=3e-5)
+
+
+def test_dispatcher_ring_falls_back_without_mesh():
+    from nova_pointcloud_tpu.ops.attention import attention
+
+    q, k, v = _qkv(l=32, seed=5)
+    out = attention(q, k, v, impl="ring")
+    ref = sdpa(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-6, rtol=2e-6)
+
+
+def test_vit_train_step_with_ring_attention(mesh):
+    """A ViT block-stack TRAIN step (loss + grads) with attn_impl="ring"
+    under the sequence mesh matches the sdpa run — SP training is usable,
+    not just a primitive."""
+    from nova_pointcloud_tpu.models.vit import VisionTransformer
+
+    l, dim = 256, 32
+
+    def build(impl):
+        return VisionTransformer(2, dim, 2, attn_impl=impl)
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, l, dim)) * 0.3
+    params = jax.jit(build("sdpa").init)(jax.random.PRNGKey(1), x)["params"]
+    target = jax.random.normal(jax.random.PRNGKey(2), (2, l, dim))
+
+    def loss(p, model):
+        out, _ = model.apply({"params": p}, x)
+        return jnp.mean((out - target) ** 2)
+
+    ref_l, ref_g = jax.value_and_grad(lambda p: loss(p, build("sdpa")))(params)
+    with mesh:
+        got_l, got_g = jax.jit(jax.value_and_grad(
+            lambda p: loss(p, build("ring:sequence"))))(params)
+    np.testing.assert_allclose(float(got_l), float(ref_l), rtol=1e-5)
+    gn_ref = float(jnp.sqrt(sum(jnp.sum(g ** 2)
+                                for g in jax.tree.leaves(ref_g))))
+    gn = float(jnp.sqrt(sum(jnp.sum(g ** 2) for g in jax.tree.leaves(got_g))))
+    np.testing.assert_allclose(gn, gn_ref, rtol=1e-4)
