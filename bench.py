@@ -51,6 +51,20 @@ H100_EST_SAMPLES_PER_SEC = 4.0
 # round-1 charitable baseline: reference WITH our token patching on H100
 H100_PATCHED_EST_SAMPLES_PER_SEC = 32.0
 
+# t2i / t2v reference cost models (scripts/measure_reference_flops.py:
+# FlopCounterMode on the reference's own VisionTransformer/DiffusionMLP at
+# the bench token counts, assembled per the transformer_3d.py:116-164 loop):
+#   t2i sd512-class: 64 AR x enc(d32w1024, L1312) x CFG2 + 25 x mlp(d6w1024,
+#     L1024) x CFG2 + video BOS pass = 139.1 TFLOP/image
+#   t2v osp480 9fr: 9 x [64 AR x enc(L2056) x2 + 25 x mlp(d3w1280) x2 + vid]
+#     = 1951.9 TFLOP/video
+# H100 credit: 60% fp16 MFU of 989.5 TF/s (generous for eager torch), same
+# convention as the t2pc baseline above.
+T2I_REF_TFLOP_PER_IMAGE = 139.13
+T2I_H100_EST_IMAGES_PER_SEC = 4.27
+T2V_REF_TFLOP_PER_VIDEO = 1951.9
+T2V_H100_EST_VIDEOS_PER_SEC = 0.304  # 3.29 s/video
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -68,6 +82,11 @@ def main():
                          "flagship serving config)")
     ap.add_argument("--no-quantize", dest="quantize", action="store_false",
                     help="bf16 variant")
+    ap.add_argument("--e2e", action="store_true",
+                    help="t2i/t2v: full serving envelope incl. on-chip VAE "
+                         "decode + uint8 postprocess (the reference "
+                         "pipeline's __call__ scope, pipeline_nova.py:"
+                         "140-144); reports the decode share of latency")
     args = ap.parse_args()
     from nova_pointcloud_tpu.utils.platform import enable_compilation_cache
 
@@ -184,32 +203,64 @@ def bench_t2i(args):
     from nova_pointcloud_tpu.pipelines.nova import NOVAPipeline
     from nova_pointcloud_tpu.schedulers import FlowMatchEulerScheduler
 
+    if args.dry_run:
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
     on_tpu = jax.default_backend() == "tpu"
-    batch = args.batch if args.batch != 64 else 4
+    batch = args.batch if args.batch != 64 else (2 if args.dry_run else 4)
     scheduler = FlowMatchEulerScheduler()
-    model = NOVATransformer(
-        arch=("vit_d16w1024", "vit_d32w1024", "mlp_d6w1024"),
-        image_dim=4, image_base_size=(32, 32), video_base_size=(1, 16, 16),
-        patch_size=2, text_token_dim=256, text_token_len=32,
-        noise_scheduler=scheduler, quantize=args.quantize and on_tpu,
-        dtype=jnp.bfloat16 if on_tpu else None)
+    if args.dry_run:
+        args.ar_steps, args.steps, args.repeats = 3, 2, 1
+        model = NOVATransformer(
+            arch=("vit_d2w64", "vit_d2w64", "mlp_d2w64"),
+            image_dim=4, image_base_size=(4, 4), video_base_size=(1, 2, 2),
+            patch_size=2, text_token_dim=256, text_token_len=32,
+            noise_scheduler=scheduler)
+    else:
+        model = NOVATransformer(
+            arch=("vit_d16w1024", "vit_d32w1024", "mlp_d6w1024"),
+            image_dim=4, image_base_size=(32, 32), video_base_size=(1, 16, 16),
+            patch_size=2, text_token_dim=256, text_token_len=32,
+            noise_scheduler=scheduler, quantize=args.quantize and on_tpu,
+            dtype=jnp.bfloat16 if on_tpu else None)
     from nova_pointcloud_tpu.pipelines.builder import init_transformer
 
     params = init_transformer(model, seed=0, batch=1)
     if on_tpu:
         params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
-    pipe = NOVAPipeline(model, params, scheduler,
+    vae = vae_params = None
+    if args.e2e:
+        # SD-class 2D VAE decode (latent 64x64x4 -> 512x512x3 uint8), the
+        # reference __call__'s scope (`pipeline_nova.py:140-144`)
+        from nova_pointcloud_tpu.models.autoencoders import AutoencoderKL
+
+        vae = AutoencoderKL(latent_channels=4,
+                            dtype=jnp.bfloat16 if on_tpu else None)
+        vae_params = jax.jit(
+            lambda k: vae.init(k, jnp.zeros((1, 8, 8, 4)),
+                               method=vae.decode))(
+            jax.random.PRNGKey(7))["params"]
+        if on_tpu:
+            vae_params = jax.tree.map(lambda p: p.astype(jnp.bfloat16),
+                                      vae_params)
+    pipe = NOVAPipeline(model, params, scheduler, vae=vae,
+                        vae_params=vae_params,
                         text_encoder=DummyTextEncoder(256, 32))
     prompts = [f"a scene {i}" for i in range(batch)]
     print(f"# t2i d48w1024 params={n_params/1e6:.1f}M batch={batch} "
-          f"ar={args.ar_steps} diff={args.steps}", file=sys.stderr)
+          f"ar={args.ar_steps} diff={args.steps} e2e={args.e2e}",
+          file=sys.stderr)
 
-    def run(key):
+    def run(key, output_type="latent"):
         out = pipe(prompts, num_inference_steps=args.ar_steps,
                    num_diffusion_steps=args.steps, guidance_scale=5.0,
-                   key=key, output_type="latent")
-        return np.asarray(out.latents)  # D2H forces completion
+                   key=key, output_type=output_type)
+        if output_type == "latent":
+            return np.asarray(out.latents)  # D2H forces completion
+        return np.asarray(out.images[0][:2, :2])  # uint8 on host already
 
     t0 = time.perf_counter()
     run(jax.random.PRNGKey(0))
@@ -220,16 +271,47 @@ def bench_t2i(args):
         run(jax.random.PRNGKey(i + 1))
         times.append(time.perf_counter() - t0)
     p50 = float(np.percentile(times, 50))
+    decode_share = None
+    if args.e2e:
+        t0 = time.perf_counter()
+        run(jax.random.PRNGKey(0), "np")
+        compile_s_e2e = time.perf_counter() - t0
+        e2e_times = []
+        for i in range(args.repeats):
+            t0 = time.perf_counter()
+            run(jax.random.PRNGKey(i + 1), "np")
+            e2e_times.append(time.perf_counter() - t0)
+        p50_lat = p50
+        p50 = float(np.percentile(e2e_times, 50))
+        decode_share = max(0.0, 1.0 - p50_lat / p50)
+        print(f"# e2e compile={compile_s_e2e:.1f}s latent={p50_lat*1000:.0f}"
+              f"ms e2e={p50*1000:.0f}ms decode_share={decode_share:.2%}",
+              file=sys.stderr)
     sps = batch / p50
     print(f"# compile={compile_s:.1f}s p50_batch={p50*1000:.0f}ms",
           file=sys.stderr)
+    achieved = T2I_REF_TFLOP_PER_IMAGE * sps
     print(json.dumps({
         "metric": "t2i_512_0.6B_samples_per_sec_per_chip"
-                  + ("" if args.quantize else "_bf16"),
+                  + ("" if args.quantize else "_bf16")
+                  + ("_e2e" if args.e2e else ""),
+        "e2e": args.e2e, "decode_share_of_latency":
+            None if decode_share is None else round(decode_share, 3),
         "serving_dtype": ("w8a8-int8 fused pallas ViT MLP"
                          if args.quantize and on_tpu else "bf16"),
         "value": round(sps, 3), "unit": "samples/sec/chip",
-        "vs_baseline": None, "p50_latency_ms_per_sample": round(p50 / batch * 1000, 1),
+        "vs_baseline": round(sps / T2I_H100_EST_IMAGES_PER_SEC, 3),
+        "baseline_note": "H100 est. for the reference design (measured "
+                         "139.1 TFLOP/image via torch FlopCounterMode at "
+                         "bench shapes; 60% eager MFU credit — see "
+                         "scripts/measure_reference_flops.py). Note an H100 "
+                         "has 5x a v5e chip's peak FLOP/s; see mfu fields "
+                         "for the efficiency comparison.",
+        "tflop_per_sample": T2I_REF_TFLOP_PER_IMAGE,
+        "achieved_tflop_s": round(achieved, 1),
+        "mfu_vs_v5e_int8_peak": round(achieved / 394.0, 3),
+        "mfu_vs_v5e_bf16_peak": round(achieved / 197.0, 3),
+        "p50_latency_ms_per_sample": round(p50 / batch * 1000, 1),
         "batch": batch, "ar_steps": args.ar_steps, "diffusion_steps": args.steps,
         "params_m": round(n_params / 1e6, 1), "backend": jax.default_backend(),
     }))
@@ -245,39 +327,72 @@ def bench_t2v(args):
     from nova_pointcloud_tpu.pipelines.nova import NOVAPipeline
     from nova_pointcloud_tpu.schedulers import FlowMatchEulerScheduler
 
+    if args.dry_run:
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
     on_tpu = jax.default_backend() == "tpu"
     batch = 1 if args.batch == 64 else args.batch
-    frames = 9
+    frames = 2 if args.dry_run else 9
     scheduler = FlowMatchEulerScheduler()
-    model = NOVATransformer(
-        arch=("vit_d16w1024", "vit_d32w1024", "mlp_d6w1024"),
-        image_dim=4, image_base_size=(30, 48), video_base_size=(9, 15, 24),
-        patch_size=2, text_token_dim=2560, text_token_len=256,
-        rotary_pos_embed=True, video_mixer_rank=24,
-        noise_scheduler=scheduler, quantize=args.quantize and on_tpu,
-        dtype=jnp.bfloat16 if on_tpu else None)
+    if args.dry_run:
+        args.ar_steps, args.steps, args.repeats = 3, 2, 1
+        model = NOVATransformer(
+            arch=("vit_d2w64", "vit_d2w64", "mlp_d2w64"),
+            image_dim=4, image_base_size=(4, 4), video_base_size=(2, 2, 2),
+            patch_size=2, text_token_dim=2560, text_token_len=16,
+            rotary_pos_embed=True, video_mixer_rank=8,
+            noise_scheduler=scheduler)
+    else:
+        model = NOVATransformer(
+            arch=("vit_d16w1024", "vit_d32w1024", "mlp_d6w1024"),
+            image_dim=4, image_base_size=(30, 48), video_base_size=(9, 15, 24),
+            patch_size=2, text_token_dim=2560, text_token_len=256,
+            rotary_pos_embed=True, video_mixer_rank=24,
+            noise_scheduler=scheduler, quantize=args.quantize and on_tpu,
+            dtype=jnp.bfloat16 if on_tpu else None)
     from nova_pointcloud_tpu.pipelines.builder import init_transformer
 
     params = init_transformer(model, seed=0, batch=1)
     if on_tpu:
         params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
-    pipe = NOVAPipeline(model, params, scheduler,
-                        text_encoder=DummyTextEncoder(2560, 256))
+    vae = vae_params = None
+    if args.e2e:
+        # temporal-tiled causal 3D decode: 9x60x96x4 latents -> 33x480x768
+        # frames (reference osp480 scope)
+        from nova_pointcloud_tpu.models.autoencoders import AutoencoderKLOpenSora
+
+        vae = AutoencoderKLOpenSora(latent_channels=4,
+                                    dtype=jnp.bfloat16 if on_tpu else None)
+        vae_params = jax.jit(
+            lambda k: vae.init(k, jnp.zeros((1, 2, 8, 8, 4)),
+                               method=vae.decode))(
+            jax.random.PRNGKey(7))["params"]
+        if on_tpu:
+            vae_params = jax.tree.map(lambda p: p.astype(jnp.bfloat16),
+                                      vae_params)
+    pipe = NOVAPipeline(model, params, scheduler, vae=vae,
+                        vae_params=vae_params,
+                        text_encoder=DummyTextEncoder(
+                            2560, model.text_token_len))
     prompts = [f"a drone shot {i}" for i in range(batch)]
     print(f"# t2v d48w1024-osp480 params={n_params/1e6:.1f}M batch={batch} "
-          f"frames={frames} ar={args.ar_steps} diff={args.steps}",
-          file=sys.stderr)
+          f"frames={frames} ar={args.ar_steps} diff={args.steps} "
+          f"e2e={args.e2e}", file=sys.stderr)
 
     checksum = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
 
-    def run(key):
+    def run(key, output_type="latent"):
         out = pipe(prompts, num_inference_steps=args.ar_steps,
                    num_diffusion_steps=args.steps, guidance_scale=5.0,
                    max_latent_length=frames, flow_shift=5.0,
-                   key=key, output_type="latent")
-        np.asarray(checksum(out.latents))
-        return out
+                   key=key, output_type=output_type)
+        if output_type == "latent":
+            np.asarray(checksum(out.latents))
+            return out
+        return np.asarray(out.frames[0][0, :2, :2])  # uint8 np already
 
     t0 = time.perf_counter()
     run(jax.random.PRNGKey(0))
@@ -288,14 +403,42 @@ def bench_t2v(args):
         run(jax.random.PRNGKey(i + 1))
         times.append(time.perf_counter() - t0)
     p50 = float(np.percentile(times, 50))
+    decode_share = None
+    if args.e2e:
+        t0 = time.perf_counter()
+        run(jax.random.PRNGKey(0), "np")
+        compile_e2e = time.perf_counter() - t0
+        e2e_times = []
+        for i in range(max(args.repeats, 2)):
+            t0 = time.perf_counter()
+            run(jax.random.PRNGKey(i + 1), "np")
+            e2e_times.append(time.perf_counter() - t0)
+        p50_lat, p50 = p50, float(np.percentile(e2e_times, 50))
+        decode_share = max(0.0, 1.0 - p50_lat / p50)
+        print(f"# e2e compile={compile_e2e:.1f}s latent={p50_lat:.1f}s "
+              f"e2e={p50:.1f}s decode_share={decode_share:.2%}",
+              file=sys.stderr)
     print(f"# compile={compile_s:.1f}s p50_video={p50:.1f}s", file=sys.stderr)
+    vps = batch / p50
+    achieved = T2V_REF_TFLOP_PER_VIDEO * vps
     print(json.dumps({
         "metric": "t2v_osp480_0.6B_videos_per_sec_per_chip"
-                  + ("" if args.quantize else "_bf16"),
+                  + ("" if args.quantize else "_bf16")
+                  + ("_e2e" if args.e2e else ""),
+        "e2e": args.e2e, "decode_share_of_latency":
+            None if decode_share is None else round(decode_share, 3),
         "serving_dtype": ("w8a8-int8 fused pallas ViT MLP"
                          if args.quantize and on_tpu else "bf16"),
         "value": round(batch / p50, 4), "unit": "videos/sec/chip",
-        "vs_baseline": None,
+        "vs_baseline": round(vps / T2V_H100_EST_VIDEOS_PER_SEC, 3),
+        "baseline_note": "H100 est. for the reference design (measured "
+                         "1951.9 TFLOP/video, torch FlopCounterMode at "
+                         "osp480 shapes, 60% eager MFU credit; "
+                         "scripts/measure_reference_flops.py)",
+        "tflop_per_sample": T2V_REF_TFLOP_PER_VIDEO,
+        "achieved_tflop_s": round(achieved, 1),
+        "mfu_vs_v5e_int8_peak": round(achieved / 394.0, 3),
+        "mfu_vs_v5e_bf16_peak": round(achieved / 197.0, 3),
         "p50_latency_s_per_video": round(p50 / batch, 2),
         "p50_latency_ms_per_frame": round(p50 / batch / frames * 1000, 1),
         "compile_s": round(compile_s, 1),

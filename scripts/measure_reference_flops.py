@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Measure the torch reference's per-forward FLOPs for the t2i/t2v cost model.
+
+The reference publishes quality numbers but NO throughput (BASELINE.md), so
+`bench.py` grounds its vs_baseline ratios in analytic H100 estimates derived
+from MEASURED torch FLOPs — the same method the t2pc baseline already uses
+(FlopCounterMode on the reference's own modules, then scale by the sampler's
+loop structure). This script produces the measured datapoints:
+
+- image_encoder (vit_d32w1024) forward at the t2i canvas token count,
+- video_encoder (vit_d16w1024) forward at the BOS/frame token count,
+- image_decoder (mlp_d6w1024) forward at the canvas token count.
+
+Run on CPU torch (reference imports via tests/_diffusers_shim). Results are
+embedded as constants in bench.py with the derivation in its docstring.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+
+import _diffusers_shim  # noqa: E402
+
+_diffusers_shim.install()
+sys.path.append("/root/reference")
+
+import torch  # noqa: E402
+from torch.utils.flop_counter import FlopCounterMode  # noqa: E402
+
+
+def count(fn):
+    with FlopCounterMode(display=False) as m:
+        fn()
+    return m.get_total_flops()
+
+
+def main():
+    from diffnext.models.diffusion_mlp import DiffusionMLP
+    from diffnext.models.vision_transformer import VisionTransformer
+
+    torch.manual_seed(0)
+    results = {}
+
+    # t2i "sd512-class" bench workload: 32x32 image patches (1024 tokens),
+    # 16x16 video patches (256 tokens), width 1024, patch 2 -> latent 64x64
+    with torch.no_grad():
+        img_enc = VisionTransformer(32, 1024, 16, patch_size=2,
+                                    image_size=(64, 64), image_dim=4).eval()
+        x = torch.randn(1, 4, 64, 64)
+        c = torch.randn(1, 256 + 32, 1024)  # video states + text prefix
+        results["image_encoder_d32w1024_L1312"] = count(lambda: img_enc(x, c))
+
+        vid_enc = VisionTransformer(16, 1024, 16, patch_size=4,
+                                    image_size=(64, 64), image_dim=4).eval()
+        xv = torch.randn(1, 4, 64, 64)
+        cv = torch.randn(1, 32, 1024)  # text tokens
+        results["video_encoder_d16w1024_L288"] = count(lambda: vid_enc(xv, cv))
+
+        mlp = DiffusionMLP(6, 1024, cond_dim=1024, patch_size=2,
+                           image_dim=4).eval()
+        xm = torch.randn(1, 4, 64, 64)
+        z = torch.randn(1, 1024, 1024)
+        t = torch.zeros(1)
+        results["image_decoder_mlp_d6w1024_L1024"] = count(
+            lambda: mlp(xm, t, z))
+
+        # t2v osp480 shapes: image stack at 30x48=1440 patch tokens,
+        # video stack at 360 video tokens + 256 text
+        img_enc_v = VisionTransformer(32, 1024, 16, patch_size=2,
+                                      image_size=(60, 96), image_dim=4).eval()
+        xv2 = torch.randn(1, 4, 60, 96)
+        cv2 = torch.randn(1, 360 + 256, 1024)
+        results["image_encoder_d32w1024_L2056_osp480"] = count(
+            lambda: img_enc_v(xv2, cv2))
+
+        vid_enc_v = VisionTransformer(16, 1024, 16, patch_size=4,
+                                      image_size=(60, 96), image_dim=4).eval()
+        cv3 = torch.randn(1, 256, 1024)
+        results["video_encoder_d16w1024_L616_osp480"] = count(
+            lambda: vid_enc_v(xv2, cv3))
+
+        mlp_v = DiffusionMLP(3, 1280, cond_dim=1024, patch_size=2,
+                             image_dim=4).eval()
+        z2 = torch.randn(1, 1440, 1024)
+        results["image_decoder_mlp_d3w1280_L1440_osp480"] = count(
+            lambda: mlp_v(xv2, t, z2))
+
+    for k, v in results.items():
+        print(f"{k}: {v/1e9:.2f} GFLOP")
+
+    # assemble the sampler cost (reference loop structure,
+    # transformer_3d.py:116-164): S AR steps x [enc fwd] + per-token
+    # diffusion D steps, all x2 CFG passes
+    S, D = 64, 25
+    enc = results["image_encoder_d32w1024_L1312"]
+    vid = results["video_encoder_d16w1024_L288"]
+    mlp_f = results["image_decoder_mlp_d6w1024_L1024"]
+    # the reference denoises the FULL canvas through the MLP every diffusion
+    # step (denoise() gets pred_ids but DiffusionMLP gathers only for the
+    # selected tokens; x stays full-image in scheduler space) — count the
+    # gathered-token version: total predicted tokens across AR steps = 1024,
+    # so MLP cost ~= full-canvas fwd per diffusion sweep
+    t2i = 2 * (S * enc + D * mlp_f) + 2 * vid
+    print(f"\n[t2i sd512-class] {t2i/1e12:.2f} TFLOP/image "
+          f"(S={S} AR, D={D} diff, CFG2)")
+    h100 = 989.5e12 * 0.6
+    print(f"H100 @60% MFU eager: {h100/t2i:.2f} images/s")
+
+    T, Sv, Dv = 9, 64, 25
+    enc_v = results["image_encoder_d32w1024_L2056_osp480"]
+    vid_v = results["video_encoder_d16w1024_L616_osp480"]
+    mlp_fv = results["image_decoder_mlp_d3w1280_L1440_osp480"]
+    t2v = T * (2 * (Sv * enc_v + Dv * mlp_fv) + 2 * vid_v)
+    print(f"[t2v osp480 9 frames] {t2v/1e12:.2f} TFLOP/video")
+    print(f"H100 @60% MFU eager: {t2v/h100:.2f} s/video")
+
+
+if __name__ == "__main__":
+    main()
