@@ -206,11 +206,17 @@ def main():
         if eval_model.dtype == jnp.bfloat16:
             w = jax.tree.map(lambda p: p.astype(jnp.bfloat16), w)
         eval_pipe.params = w
-        r = evaluator.run(eval_prompts, eval_refs,
-                          guidance_scales=tuple(args.eval_guidance),
-                          num_points=args.max_points,
-                          num_diffusion_steps=args.eval_steps,
-                          key=jax.random.PRNGKey(args.seed + step))
+        try:
+            r = evaluator.run(eval_prompts, eval_refs,
+                              guidance_scales=tuple(args.eval_guidance),
+                              num_points=args.max_points,
+                              num_diffusion_steps=args.eval_steps,
+                              key=jax.random.PRNGKey(args.seed + step))
+        finally:
+            # release the bf16 weight copy: at flagship scale (612M) keeping
+            # it alive through the next training leg OOMs the chip
+            eval_pipe.params = None
+            del w
         return r["best_chamfer"], r["best_guidance_scale"], r["best_emd"]
 
     train_stream = (fresh_batches(args.seed, args.cond_dropout)
