@@ -145,6 +145,11 @@ class Uniform15KPC:
         else:
             pool = pts[self.tr_sample_size: self.tr_sample_size
                        + self.te_sample_size]
+            if len(pool) == 0:
+                # file has fewer than tr_sample_size points (the reference
+                # assumes exactly 15k, `dataset.py:110-111`); fall back to
+                # the cloud's tail rather than an empty eval pool
+                pool = pts[-min(len(pts), self.te_sample_size):]
             n = min(self.te_sample_size, len(pool))
         sel = np.random.randint(0, len(pool), n) if self.split == "train" \
             else np.arange(n)

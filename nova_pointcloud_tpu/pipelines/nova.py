@@ -63,6 +63,10 @@ class NOVAPipeline:
             lambda p, b, l: model.apply({"params": p}, b, l,
                                         method=model.null_text),
             static_argnums=(1, 2))
+        self._embed_motion = jax.jit(
+            lambda p, b, flow, fps: model.apply(
+                {"params": p}, b, flow, fps, method=model.embed_motion),
+            static_argnums=(1,))
 
     # -- prompt handling ------------------------------------------------------
     def encode_prompt(self, prompt: Sequence[str], negative_prompt=None,
@@ -268,6 +272,8 @@ class NOVAPipeline:
         latents: Optional[jax.Array] = None,
         prompt_embeds: Optional[np.ndarray] = None,
         output_type: str = "latent",
+        motion_flow: Optional[float] = None,
+        fps: Optional[float] = None,
     ) -> NOVAPipelineOutput:
         if isinstance(prompt, str):
             prompt = [prompt]
@@ -280,6 +286,16 @@ class NOVAPipeline:
             min_guidance_scale=min_guidance_scale)
         c = self.encode_prompt(prompt, negative_prompt, guidance,
                                num_images_per_prompt, prompt_embeds)
+        if motion_flow is not None and max_latent_length > 1:
+            # motion flow/fps conditioning tokens appended to the text
+            # prefix (`transformer_3d.py:74-76`, app_nova_t2v.py:155)
+            nb = c.shape[0]
+            m = self._embed_motion(
+                self.params, nb,
+                jnp.full((nb,), float(motion_flow), jnp.float32),
+                None if fps is None else jnp.full((nb,), float(fps),
+                                                  jnp.float32))
+            c = jnp.concatenate([c, m.astype(c.dtype)], axis=1)
         if self.mesh is not None:
             # _embed_text committed c to one device; re-place it on the mesh
             # (jit in_shardings refuses committed args with foreign layout)

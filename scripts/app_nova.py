@@ -37,6 +37,10 @@ textarea,input{{width:100%;margin:4px 0}}button{{padding:8px 18px}}
 <label>guidance <input id="guidance" type="number" value="7.5" step="0.5"></label>
 <label>steps <input id="steps" type="number" value="25"></label>
 <label>seed <input id="seed" type="number" value="0"></label>
+<span id="t2v" style="display:{t2v_display}">
+<label>frames <input id="frames" type="number" value="5" min="1" max="9"></label>
+<label>motion flow <input id="motion" type="number" value="5" min="1" max="10"></label>
+</span>
 <button onclick="go()">Generate</button>
 <pre id="status"></pre><div id="out"></div>
 <script>
@@ -46,13 +50,17 @@ async function go(){{
     negative_prompt: document.getElementById('negative').value,
     guidance_scale: +document.getElementById('guidance').value,
     num_steps: +document.getElementById('steps').value,
-    seed: +document.getElementById('seed').value}};
+    seed: +document.getElementById('seed').value,
+    frames: +(document.getElementById('frames')||{{value:1}}).value,
+    motion_flow: +(document.getElementById('motion')||{{value:5}}).value}};
   const r = await fetch('/api/generate', {{method:'POST',
     headers:{{'Content-Type':'application/json'}}, body: JSON.stringify(body)}});
   const j = await r.json();
   document.getElementById('status').textContent =
     j.error || ('done in ' + j.seconds.toFixed(2) + 's');
-  if (j.image) document.getElementById('out').innerHTML =
+  if (j.video) document.getElementById('out').innerHTML =
+    '<img src="data:image/gif;base64,' + j.video + '">';
+  else if (j.image) document.getElementById('out').innerHTML =
     '<img src="data:image/png;base64,' + j.image + '">';
   else if (j.points) document.getElementById('out').innerHTML =
     '<pre>' + j.points.length + ' points; first 5: ' +
@@ -135,6 +143,53 @@ def build_t2i(args):
                         text_encoder=DummyTextEncoder(256, 32))
 
 
+def build_t2v(args):
+    """Video app backend (`app_nova_t2v.py:113-183` parity: frames +
+    motion-flow controls, GIF preview out)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nova_pointcloud_tpu.models.nova import NOVATransformer
+    from nova_pointcloud_tpu.models.text_encoders.dummy import DummyTextEncoder
+    from nova_pointcloud_tpu.pipelines.builder import init_transformer
+    from nova_pointcloud_tpu.pipelines.nova import NOVAPipeline
+    from nova_pointcloud_tpu.schedulers import FlowMatchEulerScheduler
+
+    on_tpu = jax.default_backend() == "tpu"
+    sched = FlowMatchEulerScheduler()
+    if args.tiny:
+        model = NOVATransformer(
+            arch=("vit_d2w64", "vit_d2w64", "mlp_d2w64"), image_dim=4,
+            image_base_size=(4, 4), video_base_size=(9, 2, 2), patch_size=2,
+            text_token_dim=256, text_token_len=32, video_mixer_rank=8,
+            noise_scheduler=sched)
+    else:
+        model = NOVATransformer(
+            arch=("vit_d16w768", "vit_d32w768", "mlp_d6w768"), image_dim=4,
+            image_base_size=(16, 16), video_base_size=(9, 8, 8), patch_size=2,
+            text_token_dim=256, text_token_len=32, video_mixer_rank=8,
+            noise_scheduler=sched,
+            quantize=on_tpu, dtype=jnp.bfloat16 if on_tpu else None)
+    params = init_transformer(model, seed=0)
+    return NOVAPipeline(model, params, sched,
+                        text_encoder=DummyTextEncoder(256, 32))
+
+
+def frames_to_gif(latents) -> str:
+    """(T, H, W, C) latent frames -> normalized RGB animated GIF (no VAE)."""
+    import numpy as np
+    from PIL import Image
+
+    x = np.asarray(latents)[0][..., :3]  # (T, H, W, 3)
+    x = (x - x.min()) / max(float(x.max() - x.min()), 1e-6)
+    imgs = [Image.fromarray((f * 255).astype("uint8")).resize(
+        (256, 256), Image.NEAREST) for f in x]
+    buf = io.BytesIO()
+    imgs[0].save(buf, format="GIF", save_all=True, append_images=imgs[1:],
+                 duration=250, loop=0)
+    return base64.b64encode(buf.getvalue()).decode()
+
+
 def render_points(points) -> str:
     """Depth-colored scatter like `demo.py:448-531`; '' if matplotlib absent."""
     try:
@@ -171,11 +226,13 @@ def latent_to_png(latents) -> str:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=("t2pc", "t2i"), default="t2pc")
+    ap.add_argument("--mode", choices=("t2pc", "t2i", "t2v"), default="t2pc")
     ap.add_argument("--arch", default="pc_d8w768")
     ap.add_argument("--num-points", type=int, default=1024)
     ap.add_argument("--patch-size", type=int, default=1)
     ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--tiny", action="store_true",
+                    help="d2w64 test model (CI / CPU smoke)")
     ap.add_argument("--port", type=int, default=7860)
     ap.add_argument("--host", default="127.0.0.1")
     args = ap.parse_args()
@@ -190,7 +247,8 @@ def main():
     import jax
     import numpy as np
 
-    pipe = build_t2pc(args) if args.mode == "t2pc" else build_t2i(args)
+    pipe = {"t2pc": build_t2pc, "t2i": build_t2i,
+            "t2v": build_t2v}[args.mode](args)
     lock = threading.Lock()  # one TPU program at a time
 
     class Handler(BaseHTTPRequestHandler):
@@ -206,7 +264,10 @@ def main():
             self.wfile.write(data)
 
         def do_GET(self):
-            self._send(200, PAGE.format(mode=args.mode), "text/html")
+            self._send(200, PAGE.format(
+                mode=args.mode,
+                t2v_display="inline" if args.mode == "t2v" else "none"),
+                "text/html")
 
         def do_POST(self):
             if self.path != "/api/generate":
@@ -229,6 +290,20 @@ def main():
                         pts = np.asarray(out.point_clouds[0])
                         resp = {"points": np.round(pts, 4).tolist(),
                                 "render": render_points(pts)}
+                    elif args.mode == "t2v":
+                        frames = max(1, min(int(req.get("frames", 5)),
+                                            pipe.model.video_base_size[0]))
+                        out = pipe([prompt], negative_prompt=[neg] if neg else None,
+                                   num_inference_steps=int(req.get("num_steps", 32)),
+                                   num_diffusion_steps=25,
+                                   guidance_scale=float(req.get("guidance_scale", 5.0)),
+                                   max_latent_length=frames, flow_shift=5.0,
+                                   motion_flow=float(req.get("motion_flow", 5)),
+                                   key=key, output_type="latent")
+                        lat = out.latents
+                        resp = {"video": frames_to_gif(
+                            lat if lat.ndim == 5 else lat[:, None]),
+                            "frames": frames}
                     else:
                         out = pipe([prompt], negative_prompt=[neg] if neg else None,
                                    num_inference_steps=int(req.get("num_steps", 32)),

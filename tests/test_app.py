@@ -11,19 +11,18 @@ import urllib.request
 import pytest
 
 
-@pytest.mark.parametrize("mode", ["t2pc"])
-def test_app_generates(mode):
+def _serve_and_post(extra_args, body, port, timeout=180):
     env = dict(os.environ, NOVA_PLATFORM="cpu")
     p = subprocess.Popen(
-        [sys.executable, "scripts/app_nova.py", "--mode", mode,
-         "--arch", "pc_d2w64", "--num-points", "128", "--port", "7894"],
+        [sys.executable, "scripts/app_nova.py", "--port", str(port)]
+        + extra_args,
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
     try:
-        for _ in range(60):
+        for _ in range(90):
             time.sleep(1)
             try:
                 html = urllib.request.urlopen(
-                    "http://127.0.0.1:7894/", timeout=2).read()
+                    f"http://127.0.0.1:{port}/", timeout=2).read()
                 assert b"NOVA" in html
                 break
             except (urllib.error.URLError, ConnectionError, OSError):
@@ -31,12 +30,32 @@ def test_app_generates(mode):
         else:
             raise TimeoutError(p.stdout.read().decode()[-1500:])
         req = urllib.request.Request(
-            "http://127.0.0.1:7894/api/generate",
-            data=json.dumps({"prompt": "a chair", "num_steps": 2,
-                             "seed": 1}).encode(),
+            f"http://127.0.0.1:{port}/api/generate",
+            data=json.dumps(body).encode(),
             headers={"Content-Type": "application/json"})
-        out = json.loads(urllib.request.urlopen(req, timeout=180).read())
-        assert "points" in out, out.get("error")
-        assert len(out["points"]) == 128
+        return json.loads(urllib.request.urlopen(req, timeout=timeout).read())
     finally:
         p.send_signal(signal.SIGTERM)
+
+
+def test_app_generates_t2pc():
+    out = _serve_and_post(
+        ["--mode", "t2pc", "--arch", "pc_d2w64", "--num-points", "128"],
+        {"prompt": "a chair", "num_steps": 2, "seed": 1}, port=7894)
+    assert "points" in out, out.get("error")
+    assert len(out["points"]) == 128
+
+
+def test_app_generates_t2v():
+    """t2v mode (VERDICT r2 missing #4): frames + motion-flow controls,
+    animated GIF out (`app_nova_t2v.py:113-183` parity)."""
+    out = _serve_and_post(
+        ["--mode", "t2v", "--tiny"],
+        {"prompt": "a drone shot", "num_steps": 2, "seed": 1,
+         "frames": 3, "motion_flow": 7}, port=7895, timeout=400)
+    assert "video" in out, out.get("error")
+    assert out["frames"] == 3
+    import base64
+
+    gif = base64.b64decode(out["video"])
+    assert gif[:6] in (b"GIF87a", b"GIF89a")
