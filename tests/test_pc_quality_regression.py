@@ -84,6 +84,26 @@ def test_trained_tiny_model_beats_noise_on_cd():
         f"trained CD {trained['chamfer']:.4f} vs noise "
         f"{baseline['chamfer']:.4f}")
 
+    # int8-vs-bf16 delta guard (VERDICT r2 weak #5): serving the SAME
+    # trained weights through the quantized model must not degrade sampled
+    # CD by more than 10%. On CPU this exercises the w8a8 Int8Dense MLP
+    # rounding (the Pallas fused kernels are TPU-only but share the same
+    # quantize_weight math, parity-tested in test_fused_block).
+    q_model = NOVAPointCloudTransformer(
+        arch="pc_d2w64", point_cloud_size=n_pts, patch_size=1,
+        text_token_dim=64, dropout=0.0, quantize=True)
+    q_pipe = NOVAPointCloudGenerationPipeline(
+        q_model, trainer.params, scheduler, text_encoder=text_encoder)
+    q_out = q_pipe([s["prompt"] for s in refs_shapes], num_points=n_pts,
+                   num_diffusion_steps=25, guidance_scale=2.0,
+                   key=jax.random.PRNGKey(3), postprocess="eval")
+    q_cd = evaluate_batch(np.asarray(q_out.point_clouds), refs,
+                          max_emd_points=128)["chamfer"]
+    delta = abs(q_cd - trained["chamfer"]) / trained["chamfer"]
+    assert delta <= 0.10, (
+        f"int8 CD {q_cd:.4f} vs bf16 {trained['chamfer']:.4f} "
+        f"(delta {delta:.1%} > 10%)")
+
 
 def test_trained_tiny_masked_ar_beats_noise_on_cd():
     """Same guard for the masked-AR path (leak regression would fail this:
