@@ -88,16 +88,23 @@ class Trainer:
                 self.logger.info("Resumed from checkpoint-%d", self.step)
 
     def _try_resume(self) -> bool:
-        template = {"params": self.params, "opt_state": self.opt_state}
+        if self.ckpt.latest_step() is None:
+            return False
+        # Abstract template (shapes/dtypes only) + FREE the freshly
+        # initialized trees before restoring: at flagship scale the naive
+        # path holds both the live state and the restored copy (2 x ~10GB
+        # for 612M fp32 params+Adam+EMA), which OOMs a 16GB chip.
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+            {"params": self.params, "opt_state": self.opt_state})
         if self.ema is not None:
-            template["ema"] = self.ema.params
-        try:
-            out = self.ckpt.restore(template=template)
-        except Exception as e:  # pragma: no cover - corrupt checkpoints
-            self.logger.warning("Resume failed: %s", e)
-            return False
-        if out is None:
-            return False
+            abstract["ema"] = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+                self.ema.params)
+        self.params = self.opt_state = None
+        if self.ema is not None:
+            self.ema = self.ema._replace(params=None)
+        out = self.ckpt.restore(template=abstract)
         self.step = out["step"]
         self.params = out["state"]["params"]
         self.opt_state = out["state"]["opt_state"]

@@ -226,7 +226,8 @@ def main():
     # early stopping + best checkpoint on sampled CD over EMA weights
     # (reference selects on val loss, `train_newloss.py:1407-1434`; round-2
     # showed val loss and sampled geometry diverge — VERDICT r2 weak #2)
-    best_metric, bad_rounds, step = float("inf"), 0, 0
+    best_metric, bad_rounds = float("inf"), 0
+    step = pipe.trainer.step  # resume-aware
     while step < args.max_steps and bad_rounds < args.patience:
         target = min(step + args.val_every, args.max_steps)
         pipe.train(train_stream, max_steps=target)
