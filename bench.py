@@ -71,6 +71,9 @@ def main():
     ap.add_argument("--dry-run", action="store_true",
                     help="tiny model / 2 steps, CI smoke")
     ap.add_argument("--mode", choices=("t2pc", "t2i", "t2v"), default="t2pc")
+    ap.add_argument("--arch", default="pc_d48w1024",
+                    help="t2pc arch; pc_d48w1536 benches the 1.4B config "
+                         "(the north-star d48w1536 scale) on one chip")
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--steps", type=int, default=25)
     ap.add_argument("--ar-steps", type=int, default=64)
@@ -113,7 +116,7 @@ def main():
     if args.dry_run:
         arch, batch, steps, points = "pc_d2w64", 2, 2, 256
     else:
-        arch, batch, steps, points = "pc_d48w1024", args.batch, args.steps, args.points
+        arch, batch, steps, points = args.arch, args.batch, args.steps, args.points
 
     model = NOVAPointCloudTransformer(
         arch=arch, point_cloud_size=points, patch_size=16 if not args.dry_run else 1,
@@ -167,16 +170,20 @@ def main():
     print(f"# compile={compile_s:.1f}s p50_batch={p50_batch*1000:.1f}ms "
           f"p50/sample={p50_latency_ms:.2f}ms "
           f"~{achieved_tflops:.0f} TFLOP/s effective", file=sys.stderr)
+    size_tag = "1.4B" if "1536" in arch else "0.6B"
     print(json.dumps({
-        "metric": "t2pc_2048pt_0.6B_samples_per_sec_per_chip"
+        "metric": f"t2pc_2048pt_{size_tag}_samples_per_sec_per_chip"
                   + ("" if args.quantize else "_bf16"),
         "serving_dtype": "w8a8-int8 fused pallas MLP" if args.quantize
                          else "bf16",
         "value": round(samples_per_sec, 3),
         "unit": "samples/sec/chip",
-        "vs_baseline": round(samples_per_sec / H100_EST_SAMPLES_PER_SEC, 3),
-        "vs_patched_h100": round(
-            samples_per_sec / H100_PATCHED_EST_SAMPLES_PER_SEC, 3),
+        # baselines are derived at 611.7M params; FLOPs (and so the H100
+        # estimate) scale ~linearly with params for other arches
+        "vs_baseline": round(samples_per_sec / (
+            H100_EST_SAMPLES_PER_SEC * 611.7e6 / n_params), 3),
+        "vs_patched_h100": round(samples_per_sec / (
+            H100_PATCHED_EST_SAMPLES_PER_SEC * 611.7e6 / n_params), 3),
         "baseline_note": "H100 est. for the reference per-point design at "
                          "0.6B (measured 335.1 GFLOP/fwd at 72.1M via torch "
                          "FlopCounterMode; see bench.py docstring)",
