@@ -71,6 +71,7 @@ class PointCloudEvaluator:
         key: Optional[jax.Array] = None,
         output_json: Optional[str] = None,
         postprocess: str = "eval",  # test_optimize.py:344 clamp, no tanh
+        deterministic: bool = False,  # zero-variance reverse DDPM
     ) -> Dict:
         key = key if key is not None else jax.random.PRNGKey(0)
         sweep: List[EvalResult] = []
@@ -79,7 +80,8 @@ class PointCloudEvaluator:
             out = self.pipeline(list(prompts), num_points=num_points,
                                 num_diffusion_steps=num_diffusion_steps,
                                 guidance_scale=gs, key=key,
-                                postprocess=postprocess)
+                                postprocess=postprocess,
+                                deterministic=deterministic)
             metrics = evaluate_batch(np.asarray(out.point_clouds),
                                      np.asarray(references))
             sweep.append(EvalResult(gs, metrics["chamfer"],

@@ -31,6 +31,14 @@ def main():
                     help="evaluate the EMA weights saved alongside params "
                          "(sampled quality tracks EMA better than the raw "
                          "weights at annealed-LR tails)")
+    ap.add_argument("--guidance", type=float, nargs="+",
+                    default=(1.0, 2.0, 3.0, 5.0),
+                    help="guidance scales to sweep (reference sweep: "
+                         "test_optimize.py:478-545)")
+    ap.add_argument("--deterministic", action="store_true",
+                    help="zero-variance reverse DDPM (DDIM-style ancestral "
+                         "mean): removes the per-step sampling noise floor "
+                         "from the measured geometry")
     args = ap.parse_args()
 
     from nova_pointcloud_tpu.utils.platform import (
@@ -108,10 +116,11 @@ def main():
         pipe, step = build(quantize)
         results["checkpoint_step"] = step
         ev = PointCloudEvaluator(pipe)
-        r = ev.run(prompts, refs, guidance_scales=(1.0, 2.0, 3.0, 5.0),
+        r = ev.run(prompts, refs, guidance_scales=tuple(args.guidance),
                    num_points=args.num_points,
                    num_diffusion_steps=args.steps,
-                   key=jax.random.PRNGKey(args.seed))
+                   key=jax.random.PRNGKey(args.seed),
+                   deterministic=args.deterministic)
         results[tag] = r
         print(tag, "best_cd=%.4f best_emd=%.4f @gs=%s" % (
             r["best_chamfer"], r["best_emd"], r["best_guidance_scale"]))
