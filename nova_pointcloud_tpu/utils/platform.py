@@ -21,13 +21,23 @@ def enable_compilation_cache(cache_dir: str = None):
     the relay is high regardless of program size.
 
     Disable with NOVA_NO_COMPILE_CACHE=1 (e.g. when timing cold compiles).
+
+    TPU-backend only: XLA:CPU executables embed AOT machine-feature sets and
+    loading an entry whose features mismatch the host is undefined behavior
+    (observed on this host: "+prefer-no-scatter ... could lead to SIGILL"
+    loader errors followed by nondeterministic hangs/crashes of the tiny t2v
+    app sampler under pytest). CPU compiles are seconds anyway — the cache
+    exists to absorb the ~10-minute axon-relay TPU compiles.
     """
     if os.environ.get("NOVA_NO_COMPILE_CACHE"):
+        return
+    import jax
+
+    if jax.default_backend() == "cpu":
         return
     cache_dir = cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR",
                                             _DEFAULT_CACHE_DIR)
     os.makedirs(cache_dir, exist_ok=True)
-    import jax
 
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)

@@ -33,7 +33,16 @@ def _serve_and_post(extra_args, body, port, timeout=180):
             f"http://127.0.0.1:{port}/api/generate",
             data=json.dumps(body).encode(),
             headers={"Content-Type": "application/json"})
-        return json.loads(urllib.request.urlopen(req, timeout=timeout).read())
+        try:
+            return json.loads(urllib.request.urlopen(req, timeout=timeout).read())
+        except Exception as e:
+            # surface the app's own output (crash tracebacks, XLA loader
+            # errors) instead of a bare client-side timeout
+            p.send_signal(signal.SIGTERM)
+            out = p.communicate(timeout=30)[0].decode(errors="replace")
+            raise AssertionError(
+                f"POST failed ({e!r}); app rc={p.returncode}; output tail:\n"
+                + out[-1500:]) from e
     finally:
         p.send_signal(signal.SIGTERM)
 
