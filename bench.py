@@ -79,6 +79,11 @@ def main():
     ap.add_argument("--ar-steps", type=int, default=64)
     ap.add_argument("--points", type=int, default=2048)
     ap.add_argument("--repeats", type=int, default=5)
+    ap.add_argument("--guidance-trunc", type=float, default=0.0,
+                    help="t2pc: disable CFG below this timestep — the "
+                         "reference's maybe_disable chops to the cond chunk "
+                         "(guidance_scaler.py:59-65), so truncated steps run "
+                         "at half batch")
     ap.add_argument("--quantize", dest="quantize", action="store_true",
                     default=True,
                     help="int8 fused-kernel serving path (default; the "
@@ -147,7 +152,8 @@ def main():
 
     def run(key):
         out = pipe(prompts, num_points=points, num_diffusion_steps=steps,
-                   guidance_scale=7.5, key=key, output_type="jax")
+                   guidance_scale=7.5, guidance_trunc=args.guidance_trunc,
+                   key=key, output_type="jax")
         np.asarray(checksum(out.point_clouds))  # D2H forces completion
         return out
 
@@ -162,10 +168,16 @@ def main():
     p50_batch = float(np.percentile(times, 50))
     samples_per_sec = batch / p50_batch
     p50_latency_ms = p50_batch / batch * 1000
-    # analytic model FLOPs: 25 steps x CFG 2 = 50 transformer forwards of
-    # ~2*params*tokens matmul FLOPs (attention core adds <2% at T=128)
+    # analytic model FLOPs: (2x batch for CFG steps + 1x for truncated
+    # steps) transformer forwards of ~2*params*tokens matmul FLOPs
+    # (attention core adds <2% at T=128)
     tokens = points // model.patch_size
-    tflop_per_sample = 2 * n_params * tokens * 2 * steps / 1e12
+    n_cfg = steps
+    if args.guidance_trunc > 0:
+        ts = np.asarray(pipe.scheduler.set_timesteps(steps).timesteps)
+        n_cfg = int(np.sum(ts >= args.guidance_trunc))
+    forwards = 2 * n_cfg + (steps - n_cfg)
+    tflop_per_sample = 2 * n_params * tokens * forwards / 1e12
     achieved_tflops = tflop_per_sample * samples_per_sec
     print(f"# compile={compile_s:.1f}s p50_batch={p50_batch*1000:.1f}ms "
           f"p50/sample={p50_latency_ms:.2f}ms "
@@ -184,6 +196,13 @@ def main():
             H100_EST_SAMPLES_PER_SEC * 611.7e6 / n_params), 3),
         "vs_patched_h100": round(samples_per_sec / (
             H100_PATCHED_EST_SAMPLES_PER_SEC * 611.7e6 / n_params), 3),
+        # with guidance truncation on, the shipped reference recipe (full
+        # CFG every step: its pc loop `:156-175` never truncates) costs
+        # 2*steps forwards while ours costs `forwards`; this field credits
+        # a hypothetical H100 reference using the SAME truncated recipe
+        "vs_patched_h100_same_recipe": round(samples_per_sec / (
+            H100_PATCHED_EST_SAMPLES_PER_SEC * (2 * steps) / forwards
+            * 611.7e6 / n_params), 3),
         "baseline_note": "H100 est. for the reference per-point design at "
                          "0.6B (measured 335.1 GFLOP/fwd at 72.1M via torch "
                          "FlopCounterMode; see bench.py docstring)",
@@ -193,6 +212,7 @@ def main():
         "mfu_vs_v5e_int8_peak": round(achieved_tflops / 394.0, 3),
         "mfu_vs_v5e_bf16_peak": round(achieved_tflops / 197.0, 3),
         "batch": batch, "diffusion_steps": steps, "points": points,
+        "guidance_trunc": args.guidance_trunc,
         "params_m": round(n_params / 1e6, 1),
         "backend": jax.default_backend(),
     }))

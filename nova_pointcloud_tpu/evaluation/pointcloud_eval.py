@@ -72,6 +72,7 @@ class PointCloudEvaluator:
         output_json: Optional[str] = None,
         postprocess: str = "eval",  # test_optimize.py:344 clamp, no tanh
         deterministic: bool = False,  # zero-variance reverse DDPM
+        guidance_trunc: float = 0.0,  # half-batch CFG truncation threshold
     ) -> Dict:
         key = key if key is not None else jax.random.PRNGKey(0)
         sweep: List[EvalResult] = []
@@ -81,7 +82,8 @@ class PointCloudEvaluator:
                                 num_diffusion_steps=num_diffusion_steps,
                                 guidance_scale=gs, key=key,
                                 postprocess=postprocess,
-                                deterministic=deterministic)
+                                deterministic=deterministic,
+                                guidance_trunc=guidance_trunc)
             metrics = evaluate_batch(np.asarray(out.point_clouds),
                                      np.asarray(references))
             sweep.append(EvalResult(gs, metrics["chamfer"],
@@ -95,6 +97,7 @@ class PointCloudEvaluator:
             "best_emd": best.emd,
             "num_prompts": len(prompts),
             "num_points": num_points,
+            "guidance_trunc": guidance_trunc,
         }
         if output_json:
             with open(output_json, "w") as f:

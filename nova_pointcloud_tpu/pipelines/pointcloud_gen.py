@@ -62,11 +62,20 @@ class NOVAPointCloudGenerationPipeline:
                       use_cfg: bool, use_ar: bool, num_subsets: int,
                       postprocess: str = "standard",
                       deterministic: bool = False,
-                      with_latents: bool = False):
+                      with_latents: bool = False,
+                      guidance_trunc: float = 0.0):
         model, scheduler = self.model, self.scheduler
         sched = scheduler.set_timesteps(steps)
         ts = jnp.asarray(sched.timesteps, jnp.int32)
         nb = batch * (2 if use_cfg else 1)
+        # Guidance truncation (`guidance_scaler.py:59-65` maybe_disable): once
+        # the timestep falls below the threshold the reference keeps only the
+        # cond chunk, so every later step runs at HALF batch. Timesteps are
+        # static at trace time, so the boundary is a static split: phase 1
+        # scans the CFG steps at 2x batch, phase 2 the tail at 1x.
+        n_cfg = steps
+        if use_cfg and guidance_trunc > 0:
+            n_cfg = int(np.sum(np.asarray(sched.timesteps) >= guidance_trunc))
         prequantize = (getattr(model, "quantize", False)
                        and jax.default_backend() == "tpu")
 
@@ -103,7 +112,23 @@ class NOVAPointCloudGenerationPipeline:
                                    schedule=sched)
                 return (x, key), None
 
-            (x, _), _ = jax.lax.scan(body, (x, k_loop), jnp.arange(steps))
+            def body_trunc(carry, j):
+                # post-truncation step: cond-only pass at half batch
+                x, key = carry
+                key, kd = jax.random.split(key)
+                t = ts[j]
+                pred = model.apply(variables, x, jnp.full((batch,), t),
+                                   text_raw[batch:] if use_cfg else text_raw)
+                x = scheduler.step(pred, t, x,
+                                   key=None if deterministic else kd,
+                                   schedule=sched)
+                return (x, key), None
+
+            (x, k_loop), _ = jax.lax.scan(body, (x, k_loop),
+                                          jnp.arange(n_cfg))
+            if n_cfg < steps:
+                (x, k_loop), _ = jax.lax.scan(body_trunc, (x, k_loop),
+                                              jnp.arange(n_cfg, steps))
             x = x / scheduler.init_noise_sigma
 
             if use_ar:
@@ -208,6 +233,7 @@ class NOVAPointCloudGenerationPipeline:
         num_points: int = 2048,
         num_diffusion_steps: int = 25,
         guidance_scale: float = 7.5,
+        guidance_trunc: float = 0.0,  # disable CFG below this timestep
         num_point_clouds_per_prompt: int = 1,
         use_autoregressive: bool = False,
         num_subsets: int = 16,
@@ -233,7 +259,8 @@ class NOVAPointCloudGenerationPipeline:
             batch=batch, num_points=num_points, steps=num_diffusion_steps,
             use_cfg=use_cfg, use_ar=use_autoregressive,
             num_subsets=num_subsets, postprocess=postprocess,
-            deterministic=deterministic, with_latents=latents is not None)
+            deterministic=deterministic, with_latents=latents is not None,
+            guidance_trunc=guidance_trunc)
         args = (self.params, self.ar_params, jnp.asarray(prompt_embeds),
                 jnp.float32(guidance_scale), key)
         if latents is not None:

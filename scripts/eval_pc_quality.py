@@ -35,6 +35,9 @@ def main():
                     default=(1.0, 2.0, 3.0, 5.0),
                     help="guidance scales to sweep (reference sweep: "
                          "test_optimize.py:478-545)")
+    ap.add_argument("--guidance-trunc", type=float, default=0.0,
+                    help="disable CFG below this timestep (half-batch "
+                         "truncated serving; guidance_scaler.py:59-65)")
     ap.add_argument("--deterministic", action="store_true",
                     help="zero-variance reverse DDPM (DDIM-style ancestral "
                          "mean): removes the per-step sampling noise floor "
@@ -120,7 +123,8 @@ def main():
                    num_points=args.num_points,
                    num_diffusion_steps=args.steps,
                    key=jax.random.PRNGKey(args.seed),
-                   deterministic=args.deterministic)
+                   deterministic=args.deterministic,
+                   guidance_trunc=args.guidance_trunc)
         results[tag] = r
         print(tag, "best_cd=%.4f best_emd=%.4f @gs=%s" % (
             r["best_chamfer"], r["best_emd"], r["best_guidance_scale"]))

@@ -103,6 +103,44 @@ class TestPipeline:
                  guidance_scale=3.0, key=jax.random.PRNGKey(0)).point_clouds
         assert np.abs(a - b).max() > 1e-4
 
+    def test_guidance_trunc_matches_select_oracle(self):
+        """Half-batch truncation == full-batch select (`guidance_scaler.py:59-65`).
+
+        The reference's maybe_disable chops to the cond chunk below the
+        timestep threshold; the sampler implements this as a static scan
+        split. The oracle runs every step at full CFG batch and selects
+        cond below the threshold — identical math, so outputs must match.
+        """
+        pipe = self._pipe()
+        model, params = pipe.model, pipe.params
+        steps, gs, trunc = 6, 3.0, 400.0
+        sched = pipe.scheduler.set_timesteps(steps)
+        ts = np.asarray(sched.timesteps)
+        assert 0 < np.sum(ts < trunc) < steps  # split is non-trivial
+        latents = jax.random.normal(jax.random.PRNGKey(7), (1, N_POINTS, 3))
+        text = pipe.encode_prompt(["a chair"], None, use_cfg=True)
+
+        out = pipe(["a chair"], num_points=N_POINTS,
+                   num_diffusion_steps=steps, guidance_scale=gs,
+                   guidance_trunc=trunc, deterministic=True,
+                   postprocess="eval", latents=latents,
+                   key=jax.random.PRNGKey(0)).point_clouds
+
+        x = latents * pipe.scheduler.init_noise_sigma
+        for t in ts:
+            x_in = jnp.concatenate([x, x], axis=0)
+            pred = model.apply({"params": params}, x_in,
+                               jnp.full((2,), t, jnp.int32),
+                               jnp.asarray(text))
+            uncond, cond = jnp.split(pred, 2, axis=0)
+            cfg = uncond + gs * (cond - uncond)
+            pred = cond if t < trunc else cfg
+            x = pipe.scheduler.step(pred, jnp.int32(t), x, key=None,
+                                    schedule=sched)
+        oracle = np.clip(np.asarray(x) / pipe.scheduler.init_noise_sigma,
+                         -2.0, 2.0)
+        np.testing.assert_allclose(np.asarray(out), oracle, atol=1e-5)
+
     def test_autoregressive_mode(self):
         refiner = ARRefiner(embed_dim=64, num_heads=4, depth=1)
         ar_params = jax.jit(refiner.init)(
