@@ -90,12 +90,25 @@ def main():
                          "flagship serving config)")
     ap.add_argument("--no-quantize", dest="quantize", action="store_false",
                     help="bf16 variant")
+    ap.add_argument("--static-acts", dest="static_acts",
+                    action="store_true", default=False,
+                    help="t2pc int8: calibrate static activation scales on "
+                         "one sampling trajectory first; the fused kernels "
+                         "then skip their per-row amax reduces")
     ap.add_argument("--e2e", action="store_true",
                     help="t2i/t2v: full serving envelope incl. on-chip VAE "
                          "decode + uint8 postprocess (the reference "
                          "pipeline's __call__ scope, pipeline_nova.py:"
                          "140-144); reports the decode share of latency")
     args = ap.parse_args()
+    if args.dry_run:
+        # CI smoke must not depend on the TPU tunnel. Must happen BEFORE
+        # enable_compilation_cache: that initializes the backend (it asks
+        # jax.default_backend()), after which the platform can't change.
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
     from nova_pointcloud_tpu.utils.platform import enable_compilation_cache
 
     enable_compilation_cache()
@@ -142,6 +155,11 @@ def main():
         model, params, DDPMScheduler(beta_schedule="squaredcos_cap_v2"),
         text_encoder=DummyTextEncoder(256, 32))
     prompts = [f"a chair {i}" for i in range(batch)]
+    if args.static_acts and args.quantize:
+        t0 = time.perf_counter()
+        pipe.calibrate(prompt_embeds=pipe.encode_prompt(prompts),
+                       num_points=points, num_diffusion_steps=steps)
+        print(f"# calibrate={time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     # The axon relay does not honor jax.block_until_ready (CLAUDE.md), so
     # timing must force a device-to-host transfer. D2H bandwidth through the
@@ -213,6 +231,7 @@ def main():
         "mfu_vs_v5e_bf16_peak": round(achieved_tflops / 197.0, 3),
         "batch": batch, "diffusion_steps": steps, "points": points,
         "guidance_trunc": args.guidance_trunc,
+        "static_acts": bool(args.static_acts and args.quantize),
         "params_m": round(n_params / 1e6, 1),
         "backend": jax.default_backend(),
     }))

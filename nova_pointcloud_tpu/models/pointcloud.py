@@ -184,7 +184,11 @@ class PreLNBlock(nn.Module):
             return fused_attention_block(x, lnp["scale"], lnp["bias"],
                                          wqkv_q, wqkv_s, bqkv, out_q, out_s,
                                          ap["out"]["bias"].reshape(d),
-                                         num_heads=heads)
+                                         num_heads=heads,
+                                         a_in=self.get_variable(
+                                             "qparams", "a_ln1", None),
+                                         a_av=self.get_variable(
+                                             "qparams", "a_av", None))
         # long sequences (e.g. per-point tokens): the one-kernel sub-block
         # would overflow VMEM; use the split serving path (LN+QKV kernel,
         # XLA attention core with bf16 softmax, out-proj+residual kernel)
@@ -201,7 +205,64 @@ class PreLNBlock(nn.Module):
         return int8_matmul_residual(av, x, out_q, out_s,
                                     ap["out"]["bias"].reshape(d))
 
+    def _calibration_forward(self, x: jax.Array) -> jax.Array:
+        """XLA mirror of the int8 serving path that records per-site
+        activation ranges into the mutable "act_stats" collection.
+
+        The four sow sites are exactly the fused kernels' activation-quant
+        points (post-LN1 input, attention output, post-LN2 input, post-relu
+        mid). Stats feed ops/quantization.merge_act_scales; after merging,
+        the serving kernels run calibrated per-tensor static quantization
+        instead of per-row dynamic. Backend-agnostic (no Pallas), so
+        calibration works on CPU too."""
+        from nova_pointcloud_tpu.ops.quantization import (int8_matmul,
+                                                          quantize_weight)
+
+        d, heads = self.dim, self.num_heads
+
+        def record(name, v):
+            self.sow("act_stats", name,
+                     jnp.max(jnp.abs(v)).astype(jnp.float32),
+                     reduce_fn=jnp.maximum,
+                     init_fn=lambda: jnp.zeros((), jnp.float32))
+
+        ap = self.attn.variables["params"]
+        xf = x.astype(jnp.float32)
+        h = self.norm1(xf)
+        record("a_ln1", h)
+        wqkv = jnp.concatenate(
+            [ap[k]["kernel"].reshape(d, d)
+             for k in ("query", "key", "value")], axis=1)
+        bqkv = jnp.concatenate(
+            [ap[k]["bias"].reshape(d) for k in ("query", "key", "value")])
+        qkv = int8_matmul(h, quantize_weight(wqkv), jnp.float32) + bqkv
+        b, t, _ = qkv.shape
+        hd = d // heads
+        q, k, v = [a.reshape(b, t, heads, hd)
+                   for a in jnp.split(qkv, 3, axis=-1)]
+        probs = jax.nn.softmax(
+            jnp.einsum("bqhd,bkhd->bhqk", q * (hd ** -0.5), k), axis=-1)
+        av = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, t, d)
+        record("a_av", av)
+        out_k = ap["out"]["kernel"].reshape(d, d)
+        xf = xf + (int8_matmul(av, quantize_weight(out_k), jnp.float32)
+                   + ap["out"]["bias"].reshape(d))
+        h2 = self.norm2(xf)
+        record("a_ln2", h2)
+        p1 = self.fc1.variables["params"]
+        p2 = self.fc2.variables["params"]
+        a = jnp.maximum(
+            int8_matmul(h2, quantize_weight(p1["kernel"]), jnp.float32)
+            + p1["bias"], 0.0)
+        record("a_mid", a)
+        o = int8_matmul(a, quantize_weight(p2["kernel"]), jnp.float32) \
+            + p2["bias"]
+        return (xf + o).astype(x.dtype)
+
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        if (self.quantize and not self.is_initializing()
+                and self.is_mutable_collection("act_stats")):
+            return self._calibration_forward(x)
         use_fused = (self.quantize and deterministic
                      and not self.is_initializing()
                      and jax.default_backend() == "tpu")
@@ -230,7 +291,11 @@ class PreLNBlock(nn.Module):
                 q2v, q2s = quantize_weight(p2["kernel"])
             return fused_ln_int8_mlp(x, lnp["scale"], lnp["bias"],
                                      q1v, q1s, p1["bias"],
-                                     q2v, q2s, p2["bias"])
+                                     q2v, q2s, p2["bias"],
+                                     a_in=self.get_variable(
+                                         "qparams", "a_ln2", None),
+                                     a_mid=self.get_variable(
+                                         "qparams", "a_mid", None))
 
         h = self.norm2(x)
         # relu, not gelu: the reference's nn.TransformerEncoderLayer
@@ -303,7 +368,7 @@ class BlockStack(nn.Module):
             return self.pp_runner(block_apply, depth_params, h)
         body = nn.scan(
             _ScanBlockBody,
-            variable_axes={"params": 0, "qparams": 0},
+            variable_axes={"params": 0, "qparams": 0, "act_stats": 0},
             split_rngs={"params": True, "dropout": True},
             length=self.depth,
             metadata_params={nn.meta.PARTITION_NAME: None},

@@ -49,6 +49,21 @@ def _quant_rows(x):
     return q, s
 
 
+def _quant_static(x, amax):
+    """Per-tensor symmetric int8 with a CALIBRATED static amax (scalar).
+
+    Skips the per-row |x| max reduce — measured ~12% of the fused-MLP pass
+    at flagship shapes (ablation: per-row 42.3ms vs static 37.4ms per
+    48-layer pass). The scale comes from a calibration run over a real
+    sampling trajectory (ops/quantization.merge_act_scales); outliers beyond
+    the calibrated range clip at +-127, which is the standard static-quant
+    tradeoff and is guarded by the int8-vs-bf16 sampled-CD regression."""
+    s = jnp.maximum(amax / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(x * jax.lax.reciprocal(s)), -127,
+                 127).astype(jnp.int8)
+    return q, s
+
+
 def _erf(x):
     """erf via Abramowitz-Stegun 7.1.26 (max err 1.5e-7): Mosaic has no
     lowering for lax.erf, but exp lowers fine."""
@@ -66,15 +81,25 @@ def _silu(x):
 
 
 def _mlp_kernel(x_ref, lns_ref, lnb_ref, w1_ref, s1_ref, b1_ref,
-                w2_ref, s2_ref, b2_ref, o_ref):
+                w2_ref, s2_ref, b2_ref, *rest, static_acts=False):
+    if static_acts:
+        a1_ref, a2_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
     x = x_ref[...].astype(jnp.float32)  # (TM, D)
     h = _ln(x, lns_ref[0].astype(jnp.float32), lnb_ref[0].astype(jnp.float32))
-    q, sx = _quant_rows(h)
+    if static_acts:
+        q, sx = _quant_static(h, a1_ref[0, 0])
+    else:
+        q, sx = _quant_rows(h)
     a = jax.lax.dot_general(q, w1_ref[...], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.int32)
     a = a.astype(jnp.float32) * sx * s1_ref[0] + b1_ref[0]
     a = jnp.maximum(a, 0.0)  # relu (reference TransformerEncoderLayer default)
-    q2, sx2 = _quant_rows(a)
+    if static_acts:
+        q2, sx2 = _quant_static(a, a2_ref[0, 0])
+    else:
+        q2, sx2 = _quant_rows(a)
     o = jax.lax.dot_general(q2, w2_ref[...], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.int32)
     o = o.astype(jnp.float32) * sx2 * s2_ref[0] + b2_ref[0]
@@ -85,12 +110,17 @@ def _mlp_kernel(x_ref, lns_ref, lnb_ref, w1_ref, s1_ref, b1_ref,
 def fused_ln_int8_mlp(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
                       w1q: jax.Array, s1: jax.Array, b1: jax.Array,
                       w2q: jax.Array, s2: jax.Array, b2: jax.Array,
+                      a_in=None, a_mid=None,
                       block_m: int = 256) -> jax.Array:
     """x (..., D) bf16 -> x + MLP(LN(x)) with int8 matmuls, one fused pass.
 
     w1q (D, F) int8 with per-channel scales s1 (F,); w2q (F, D) / s2 (D,).
     VMEM budget at D=1024, F=4096, block_m=256: 8MB weights + ~3MB
     activations (fits the ~16MB/core budget).
+
+    ``a_in`` / ``a_mid``: optional CALIBRATED per-tensor activation amax
+    scalars for the two quant sites (post-LN input, post-relu mid); when
+    given the kernel skips the per-row amax reduce (_quant_static).
     """
     orig_shape = x.shape
     d = x.shape[-1]
@@ -101,27 +131,33 @@ def fused_ln_int8_mlp(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
     if pad:
         xf = jnp.pad(xf, ((0, pad), (0, 0)))
     rows = xf.shape[0]
+    static_acts = a_in is not None
 
     def row2(a):  # scalars/vectors as (1, L) for TPU-legal layouts
         return a.astype(jnp.float32).reshape(1, -1)
 
+    def const(shape):
+        return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    in_specs = [
+        pl.BlockSpec((block_m, d), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        const((1, d)), const((1, d)),
+        const((d, f)), const((1, f)), const((1, f)),
+        const((f, d)), const((1, d)), const((1, d)),
+    ]
+    operands = [xf, row2(ln_scale), row2(ln_bias), w1q, row2(s1), row2(b1),
+                w2q, row2(s2), row2(b2)]
+    if static_acts:
+        in_specs += [const((1, 1)), const((1, 1))]
+        operands += [row2(jnp.asarray(a_in)), row2(jnp.asarray(a_mid))]
+
     out = pl.pallas_call(
-        _mlp_kernel,
+        functools.partial(_mlp_kernel, static_acts=static_acts),
         out_shape=jax.ShapeDtypeStruct((rows, d), x.dtype),
         grid_spec=pl.GridSpec(
             grid=(rows // block_m,),
-            in_specs=[
-                pl.BlockSpec((block_m, d), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((d, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((f, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((block_m, d), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
         ),
@@ -130,8 +166,7 @@ def fused_ln_int8_mlp(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
             bytes_accessed=2 * rows * d * 2 + (d * f * 2),
             transcendentals=0,
         ),
-    )(xf, row2(ln_scale), row2(ln_bias), w1q, row2(s1), row2(b1),
-      w2q, row2(s2), row2(b2))
+    )(*operands)
     if pad:
         out = out[:m]
     return out.reshape(orig_shape)
@@ -265,12 +300,20 @@ def int8_matmul_residual(x: jax.Array, residual: jax.Array, wq: jax.Array,
 
 
 def _attn_block_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, sqkv_ref, bqkv_ref,
-                       wo_ref, so_ref, bo_ref, o_ref, *, num_heads):
+                       wo_ref, so_ref, bo_ref, *rest, num_heads,
+                       static_acts=False):
+    if static_acts:
+        ain_ref, aav_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
     sb, t, d = x_ref.shape  # sb samples per program
     hd = d // num_heads
     x = x_ref[...].astype(jnp.float32).reshape(sb * t, d)
     h = _ln(x, lns_ref[0].astype(jnp.float32), lnb_ref[0].astype(jnp.float32))
-    q8, sx = _quant_rows(h)
+    if static_acts:
+        q8, sx = _quant_static(h, ain_ref[0, 0])
+    else:
+        q8, sx = _quant_rows(h)
     qkv = jax.lax.dot_general(q8, wqkv_ref[...], (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)
     qkv = qkv.astype(jnp.float32) * sx * sqkv_ref[0] + bqkv_ref[0]  # (sb*T, 3D)
@@ -292,7 +335,10 @@ def _attn_block_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, sqkv_ref, bqkv_ref,
                 preferred_element_type=jnp.float32))
         outs.append(jnp.concatenate(heads_out, axis=-1))
     av = jnp.concatenate(outs, axis=0)  # (sb*T, D)
-    q8o, sxo = _quant_rows(av)
+    if static_acts:
+        q8o, sxo = _quant_static(av, aav_ref[0, 0])
+    else:
+        q8o, sxo = _quant_rows(av)
     o = jax.lax.dot_general(q8o, wo_ref[...], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.int32)
     o = o.astype(jnp.float32) * sxo * so_ref[0] + bo_ref[0]
@@ -304,7 +350,7 @@ def fused_attention_block(x: jax.Array, ln_scale: jax.Array,
                           ln_bias: jax.Array, wqkv_q: jax.Array,
                           wqkv_s: jax.Array, bqkv: jax.Array,
                           wo_q: jax.Array, wo_s: jax.Array, bo: jax.Array,
-                          num_heads: int) -> jax.Array:
+                          num_heads: int, a_in=None, a_av=None) -> jax.Array:
     """The entire PreLN attention sub-block as ONE VMEM-resident kernel:
 
         y = x + W_o q8(softmax(q k^T / sqrt(hd)) v) + b_o,
@@ -323,36 +369,42 @@ def fused_attention_block(x: jax.Array, ln_scale: jax.Array,
     Two samples share one program when batch and VMEM allow (256-row
     projection matmuls pipeline better on the MXU: measured ~8% faster on
     the attention pass at flagship shapes, bitwise-identical output).
+
+    ``a_in`` / ``a_av``: optional calibrated per-tensor activation amax for
+    the post-LN input and the attention-output quant sites (_quant_static).
     """
     b, t, d = x.shape
     sb = 2 if (b % 2 == 0
                and attention_block_vmem_bytes(t, d, 2) <= 14 * 2**20) else 1
+    static_acts = a_in is not None
 
     def row2(a):
         return a.astype(jnp.float32).reshape(1, -1)
 
-    kernel = functools.partial(_attn_block_kernel, num_heads=num_heads)
+    def const(shape):
+        return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    in_specs = [
+        pl.BlockSpec((sb, t, d), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        const((1, d)), const((1, d)),
+        const((d, 3 * d)), const((1, 3 * d)), const((1, 3 * d)),
+        const((d, d)), const((1, d)), const((1, d)),
+    ]
+    operands = [x, row2(ln_scale), row2(ln_bias), wqkv_q, row2(wqkv_s),
+                row2(bqkv), wo_q, row2(wo_s), row2(bo)]
+    if static_acts:
+        in_specs += [const((1, 1)), const((1, 1))]
+        operands += [row2(jnp.asarray(a_in)), row2(jnp.asarray(a_av))]
+
+    kernel = functools.partial(_attn_block_kernel, num_heads=num_heads,
+                               static_acts=static_acts)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, t, d), x.dtype),
         grid_spec=pl.GridSpec(
             grid=(b // sb,),
-            in_specs=[
-                pl.BlockSpec((sb, t, d), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((d, 3 * d), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 3 * d), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 3 * d), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((d, d), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((sb, t, d), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
         ),
@@ -361,8 +413,7 @@ def fused_attention_block(x: jax.Array, ln_scale: jax.Array,
             bytes_accessed=2 * b * t * d * 2 + 4 * d * d,
             transcendentals=b * t * t,
         ),
-    )(x, row2(ln_scale), row2(ln_bias), wqkv_q, row2(wqkv_s), row2(bqkv),
-      wo_q, row2(wo_s), row2(bo))
+    )(*operands)
 
 
 def attention_block_vmem_bytes(t: int, d: int, sb: int = 1) -> int:

@@ -145,6 +145,48 @@ def quantize_serving_params(params) -> dict:
     return {}
 
 
+# Calibrated static activation scales -----------------------------------------
+#
+# The fused serving kernels quantize activations per row by default (a max
+# reduce over the lane dim before every int8 matmul). A calibration pass over
+# a real sampling trajectory records per-site max|activation| instead; with
+# those folded into qparams the kernels switch to per-tensor static scales
+# (ops/pallas/fused_block._quant_static) and skip the reduce — measured ~12%
+# of the fused-MLP pass at flagship shapes. Site names sown by
+# PreLNBlock._calibration_forward (models/pointcloud.py).
+ACT_SITE_NAMES = ("a_ln1", "a_av", "a_ln2", "a_mid")
+
+
+def merge_act_scales(qparams, act_stats, margin: float = 1.0):
+    """Fold a calibration run's activation stats into a qparams tree.
+
+    ``act_stats`` is the mutable "act_stats" collection sown by a
+    calibration forward: per-site max|activation| scalars ((depth,) under
+    scanned stacks). Returns a new qparams tree whose block entries carry
+    additional ``a_*`` leaves; the fused kernels use calibrated static
+    scales whenever these are present. ``margin`` multiplies the recorded
+    amax (>1 adds clipping headroom for activations beyond the calibration
+    distribution)."""
+
+    def merge(q, s):
+        if not isinstance(s, dict):
+            return q
+        out = dict(q) if isinstance(q, dict) else {}
+        for k, v in s.items():
+            if k in ACT_SITE_NAMES:
+                out[k] = jnp.asarray(v, jnp.float32) * margin
+            else:
+                out[k] = merge(out.get(k, {}), v)
+        return out
+
+    return merge(qparams, act_stats)
+
+
+def max_merge_stats(a, b):
+    """Elementwise running max of two act_stats trees (across calib steps)."""
+    return jax.tree.map(jnp.maximum, a, b)
+
+
 class Int8Dense(nn.Module):
     """Dense whose matmul runs int8; params stored fp32 and quantized in-graph
     (XLA folds the weight quantization into a constant at serving time)."""

@@ -55,6 +55,9 @@ class NOVAPointCloudGenerationPipeline:
         # block stack + the batch on "data", all inside the one jitted
         # sampler. XLA inserts the per-layer all-reduces on ICI.
         self.mesh = mesh
+        # calibrated static activation scales (see calibrate()); folded into
+        # every sampler's qparams when present
+        self.act_scales = None
         self._samplers: Dict[Tuple, Any] = {}
 
     # -- samplers ---------------------------------------------------------------
@@ -63,7 +66,8 @@ class NOVAPointCloudGenerationPipeline:
                       postprocess: str = "standard",
                       deterministic: bool = False,
                       with_latents: bool = False,
-                      guidance_trunc: float = 0.0):
+                      guidance_trunc: float = 0.0,
+                      static_acts: bool = False):
         model, scheduler = self.model, self.scheduler
         sched = scheduler.set_timesteps(steps)
         ts = jnp.asarray(sched.timesteps, jnp.int32)
@@ -78,6 +82,7 @@ class NOVAPointCloudGenerationPipeline:
             n_cfg = int(np.sum(np.asarray(sched.timesteps) >= guidance_trunc))
         prequantize = (getattr(model, "quantize", False)
                        and jax.default_backend() == "tpu")
+        act_scales = self.act_scales if static_acts else None
 
         def sample(params, ar_params, text_raw, guidance_scale, key,
                    latents=None):
@@ -92,8 +97,13 @@ class NOVAPointCloudGenerationPipeline:
                 # in-graph quantization would re-read every fp32 kernel each
                 # step (ops/quantization.quantize_serving_params docstring)
                 from nova_pointcloud_tpu.ops.quantization import (
-                    quantize_serving_params)
-                variables["qparams"] = quantize_serving_params(params)
+                    merge_act_scales, quantize_serving_params)
+                qp = quantize_serving_params(params)
+                if act_scales is not None:
+                    # calibrated static activation scales: the fused kernels
+                    # skip their per-row amax reduces (calibrate())
+                    qp = merge_act_scales(qp, act_scales)
+                variables["qparams"] = qp
 
             def body(carry, j):
                 x, key = carry
@@ -208,6 +218,67 @@ class NOVAPointCloudGenerationPipeline:
             self._samplers[k] = self._make_sampler(**kw)
         return self._samplers[k]
 
+    # -- calibration --------------------------------------------------------------
+    def calibrate(self, prompt: Optional[Sequence[str]] = None,
+                  negative_prompt: Optional[Sequence[str]] = None,
+                  prompt_embeds: Optional[np.ndarray] = None,
+                  num_points: int = 2048, num_diffusion_steps: int = 25,
+                  guidance_scale: float = 5.0,
+                  key: Optional[jax.Array] = None,
+                  margin: float = 1.05):
+        """Record activation ranges over one real sampling trajectory; fold
+        them into every subsequent sampler as static int8 scales.
+
+        With calibrated per-tensor scales the fused serving kernels skip
+        their per-row amax reduces (ops/pallas/fused_block._quant_static) —
+        measured ~12% off the fused-MLP pass at flagship shapes. One-time
+        per loaded checkpoint: ``num_diffusion_steps`` single-step forwards
+        through an XLA mirror of the int8 path
+        (models/pointcloud.PreLNBlock._calibration_forward), so it runs on
+        any backend. ``margin`` adds clipping headroom beyond the recorded
+        ranges. Returns the stats tree (also kept on ``self.act_scales``)."""
+        from nova_pointcloud_tpu.ops.quantization import max_merge_stats
+
+        if isinstance(prompt, str):
+            prompt = [prompt]
+        key = key if key is not None else jax.random.PRNGKey(0)
+        use_cfg = guidance_scale > 1.0
+        if prompt_embeds is None:
+            prompt_embeds = self.encode_prompt(prompt, negative_prompt,
+                                               use_cfg)
+        batch = prompt_embeds.shape[0] // (2 if use_cfg else 1)
+        model, scheduler = self.model, self.scheduler
+        sched = scheduler.set_timesteps(num_diffusion_steps)
+        ts = jnp.asarray(sched.timesteps, jnp.int32)
+        nb = batch * (2 if use_cfg else 1)
+
+        @jax.jit
+        def step(params, x, t, text_raw, gs, kd):
+            x_in = jnp.concatenate([x, x], axis=0) if use_cfg else x
+            pred, vs = model.apply({"params": params}, x_in,
+                                   jnp.full((nb,), t), text_raw,
+                                   mutable=["act_stats"])
+            if use_cfg:
+                uncond, cond = jnp.split(pred, 2, axis=0)
+                pred = uncond + gs * (cond - uncond)
+            x = scheduler.step(pred, t, x, key=kd, schedule=sched)
+            return x, vs["act_stats"]
+
+        k_init, k_loop = jax.random.split(key)
+        x = jax.random.normal(k_init, (batch, num_points, 3), jnp.float32)
+        x = x * scheduler.init_noise_sigma
+        text_raw = jnp.asarray(prompt_embeds)
+        gs = jnp.float32(guidance_scale)
+        stats = None
+        for j in range(num_diffusion_steps):
+            k_loop, kd = jax.random.split(k_loop)
+            x, s = step(self.params, x, ts[j], text_raw, gs, kd)
+            stats = s if stats is None else max_merge_stats(stats, s)
+        self.act_scales = jax.tree.map(
+            lambda a: np.asarray(a, np.float32) * margin, stats)
+        self._samplers.clear()  # rebuilt with the static scales merged
+        return self.act_scales
+
     # -- prompt encoding ---------------------------------------------------------
     def encode_prompt(self, prompt: Sequence[str],
                       negative_prompt: Optional[Sequence[str]] = None,
@@ -260,7 +331,8 @@ class NOVAPointCloudGenerationPipeline:
             use_cfg=use_cfg, use_ar=use_autoregressive,
             num_subsets=num_subsets, postprocess=postprocess,
             deterministic=deterministic, with_latents=latents is not None,
-            guidance_trunc=guidance_trunc)
+            guidance_trunc=guidance_trunc,
+            static_acts=self.act_scales is not None)
         args = (self.params, self.ar_params, jnp.asarray(prompt_embeds),
                 jnp.float32(guidance_scale), key)
         if latents is not None:

@@ -38,6 +38,10 @@ def main():
     ap.add_argument("--guidance-trunc", type=float, default=0.0,
                     help="disable CFG below this timestep (half-batch "
                          "truncated serving; guidance_scaler.py:59-65)")
+    ap.add_argument("--static-acts", dest="static_acts", action="store_true",
+                    help="also score the int8 path with CALIBRATED static "
+                         "activation scales (pipeline.calibrate) as a third "
+                         "'int8_static' row")
     ap.add_argument("--deterministic", action="store_true",
                     help="zero-variance reverse DDPM (DDIM-style ancestral "
                          "mean): removes the per-step sampling noise floor "
@@ -113,10 +117,17 @@ def main():
                     -2, 2).astype(np.float32)
     results["noise_baseline"] = evaluate_batch(noise, refs)
 
-    for tag, quantize in (("bf16", False), ("int8", True)):
+    variants = [("bf16", False, False), ("int8", True, False)]
+    if args.static_acts:
+        variants.append(("int8_static", True, True))
+    for tag, quantize, static in variants:
         if quantize and not on_tpu:
             continue
         pipe, step = build(quantize)
+        if static:
+            pipe.calibrate(
+                prompt_embeds=pipe.encode_prompt(prompts),
+                num_points=args.num_points, num_diffusion_steps=args.steps)
         results["checkpoint_step"] = step
         ev = PointCloudEvaluator(pipe)
         r = ev.run(prompts, refs, guidance_scales=tuple(args.guidance),

@@ -160,6 +160,112 @@ def test_fused_attention_block_matches_split_path():
     assert err.mean() / scale < 2e-2, (err.mean(), scale)
 
 
+def test_fused_mlp_static_acts_matches_xla_static_math():
+    """Calibrated static activation scales == per-tensor static quant math."""
+    key = jax.random.PRNGKey(21)
+    d, f = 256, 1024
+    ks = jax.random.split(key, 6)
+    x = jax.random.normal(ks[0], (2, 64, d), jnp.float32) * 0.5
+    lns = jax.random.normal(ks[1], (d,)) * 0.1 + 1.0
+    lnb = jax.random.normal(ks[2], (d,)) * 0.1
+    w1 = jax.random.normal(ks[3], (d, f)) * 0.05
+    b1 = jax.random.normal(ks[4], (f,)) * 0.01
+    w2 = jax.random.normal(ks[5], (f, d)) * 0.05
+    b2 = jax.random.normal(ks[5], (d,)) * 0.01
+    q1, q2 = quantize_weight(w1), quantize_weight(w2)
+
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    h = (x - mu) * jax.lax.rsqrt(var + 1e-6) * lns + lnb
+    a_in = jnp.max(jnp.abs(h)) * 1.05  # calibrated amax with headroom
+
+    def static_q(v, amax):
+        s = jnp.maximum(amax / 127.0, 1e-8)
+        return jnp.clip(jnp.round(v / s), -127, 127).astype(jnp.int8), s
+
+    qh, sh = static_q(h, a_in)
+    a = qh.astype(jnp.float32) @ w1q_deq(q1) * sh + b1
+    a = jnp.maximum(a, 0.0)
+    a_mid = jnp.max(jnp.abs(a)) * 1.05
+    qa, sa = static_q(a, a_mid)
+    ref = x + (qa.astype(jnp.float32) @ w1q_deq(q2)) * sa + b2
+
+    with pltpu.force_tpu_interpret_mode():
+        out = fused_ln_int8_mlp(x, lns, lnb, q1.values, q1.scales, b1,
+                                q2.values, q2.scales, b2,
+                                a_in=a_in, a_mid=a_mid, block_m=64)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)
+
+
+def w1q_deq(qw):
+    """int8 weight -> effective fp matrix (values * per-channel scales)."""
+    return qw.values.astype(jnp.float32) * qw.scales
+
+
+def test_preln_block_calibration_and_static_serving(monkeypatch):
+    """apply(mutable=["act_stats"]) sows the four quant-site ranges; merging
+    them into qparams switches the fused kernels to static scales with
+    output close to the dynamic per-row path."""
+    from nova_pointcloud_tpu.ops.quantization import (merge_act_scales,
+                                                      quantize_serving_params)
+
+    key = jax.random.PRNGKey(22)
+    blk = PreLNBlock(dim=128, num_heads=4, dropout=0.0, quantize=True)
+    x = jax.random.normal(key, (2, 32, 128), jnp.float32) * 0.3
+    params = blk.init(key, x)["params"]
+
+    y_cal, vs = blk.apply({"params": params}, x, mutable=["act_stats"])
+    stats = vs["act_stats"]
+    assert set(stats) == {"a_ln1", "a_av", "a_ln2", "a_mid"}
+    assert all(float(v) > 0 for v in stats.values())
+
+    qp = quantize_serving_params(params)
+    qp_static = merge_act_scales(qp, stats, margin=1.05)
+    assert set(qp_static) - set(qp) == {"a_ln1", "a_av", "a_ln2", "a_mid"}
+
+    import nova_pointcloud_tpu.models.pointcloud as pc_mod
+    monkeypatch.setattr(pc_mod.jax, "default_backend", lambda: "tpu")
+    with pltpu.force_tpu_interpret_mode():
+        dyn = blk.apply({"params": params, "qparams": qp}, x)
+        stat = blk.apply({"params": params, "qparams": qp_static}, x)
+    dyn, stat = np.asarray(dyn, np.float32), np.asarray(stat, np.float32)
+    scale = np.abs(dyn).mean()
+    assert np.abs(stat - dyn).mean() / scale < 3e-2
+    # the calibration mirror itself tracks the serving math
+    assert np.abs(np.asarray(y_cal) - dyn).mean() / scale < 3e-2
+
+
+def test_pipeline_calibrate_cpu_smoke():
+    """Pipeline.calibrate records (depth,)-shaped per-layer scales through
+    the scanned stack and the sampler keeps working afterwards."""
+    from nova_pointcloud_tpu.models.pointcloud import NOVAPointCloudTransformer
+    from nova_pointcloud_tpu.pipelines.pointcloud_gen import (
+        NOVAPointCloudGenerationPipeline)
+    from nova_pointcloud_tpu.schedulers import DDPMScheduler
+
+    n = 64
+    model = NOVAPointCloudTransformer(
+        arch="pc_d2w64", point_cloud_size=n, patch_size=4,
+        text_token_dim=16, dropout=0.0, quantize=True)
+    x = jnp.zeros((2, n, 3))
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), x, jnp.zeros((2,), jnp.int32),
+        jnp.zeros((2, 4, 16)))["params"]
+    pipe = NOVAPointCloudGenerationPipeline(
+        model, params, DDPMScheduler(beta_schedule="squaredcos_cap_v2"))
+    embeds = np.random.RandomState(0).randn(4, 4, 16).astype(np.float32)
+    stats = pipe.calibrate(prompt_embeds=embeds, num_points=n,
+                           num_diffusion_steps=3)
+    leaves = stats["blocks"]["layers"]["block"]
+    assert set(leaves) == {"a_ln1", "a_av", "a_ln2", "a_mid"}
+    assert all(v.shape == (2,) and (v > 0).all() for v in leaves.values())
+    out = pipe(prompt_embeds=embeds, num_points=n, num_diffusion_steps=2,
+               guidance_scale=5.0)
+    assert out.point_clouds.shape == (2, n, 3)
+    assert np.isfinite(out.point_clouds).all()
+
+
 def test_fused_int8_mlp_postln_matches_xla_math():
     """Post-LN gelu MLP kernel == unfused int8 math (ViT Block serving)."""
     from nova_pointcloud_tpu.ops.pallas.fused_block import fused_int8_mlp_postln
