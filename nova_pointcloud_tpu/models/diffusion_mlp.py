@@ -72,9 +72,49 @@ class DiffusionBlock(nn.Module):
             w2, s2 = quantize_weight(pp["fc2"]["kernel"])
         return fused_int8_diffusion_block(
             x, z, ws, ss, n1["proj"]["bias"], w1, s1, pp["fc1"]["bias"],
-            w2, s2, pp["fc2"]["bias"], n2["scale"], n2["bias"])
+            w2, s2, pp["fc2"]["bias"], n2["scale"], n2["bias"],
+            a_z=self.get_variable("qparams", "a_z", None),
+            a_h=self.get_variable("qparams", "a_h", None),
+            a_silu=self.get_variable("qparams", "a_silu", None))
+
+    def _calibration_forward(self, x: jax.Array, z: jax.Array) -> jax.Array:
+        """XLA mirror of the fused int8 block recording the three quant-site
+        activation ranges ("a_z" post-silu cond, "a_h" post-AdaLN hidden,
+        "a_silu" post-silu mid) into the mutable "act_stats" collection
+        (ops/quantization.merge_act_scales). Backend-agnostic."""
+        from nova_pointcloud_tpu.ops.quantization import (int8_matmul,
+                                                          quantize_weight)
+
+        def record(name, v):
+            self.sow("act_stats", name,
+                     jnp.max(jnp.abs(v)).astype(jnp.float32),
+                     reduce_fn=jnp.maximum,
+                     init_fn=lambda: jnp.zeros((), jnp.float32))
+
+        n1 = self.norm1.variables["params"]
+        pp = self.proj.variables["params"]
+        d = x.shape[-1]
+        zf = nn.silu(z.astype(jnp.float32))
+        record("a_z", zf)
+        stats = int8_matmul(zf, quantize_weight(n1["proj"]["kernel"]),
+                            jnp.float32) + n1["proj"]["bias"]
+        scale, shift, gate = jnp.split(stats, 3, axis=-1)
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+        h = (xf - mu) * jax.lax.rsqrt(var + 1e-6) * (1.0 + scale) + shift
+        record("a_h", h)
+        a = nn.silu(int8_matmul(h, quantize_weight(pp["fc1"]["kernel"]),
+                                jnp.float32) + pp["fc1"]["bias"])
+        record("a_silu", a)
+        o = int8_matmul(a, quantize_weight(pp["fc2"]["kernel"]),
+                        jnp.float32) + pp["fc2"]["bias"]
+        return (self.norm2(o) * gate + xf).astype(x.dtype)
 
     def __call__(self, x: jax.Array, z: jax.Array) -> jax.Array:
+        if (self.quantize and not self.is_initializing()
+                and self.is_mutable_collection("act_stats")):
+            return self._calibration_forward(x, z)
         if (self.quantize and not self.is_initializing()
                 and jax.default_backend() == "tpu"):
             return self._fused(x, z)

@@ -110,11 +110,44 @@ class Block(nn.Module):
             q2, s2 = quantize_weight(mp["fc2"]["kernel"])
         return fused_int8_mlp_postln(x, q1, s1, mp["fc1"]["bias"], q2, s2,
                                      mp["fc2"]["bias"], np2["scale"],
-                                     np2["bias"])
+                                     np2["bias"],
+                                     a_x=self.get_variable(
+                                         "qparams", "a_x", None),
+                                     a_gelu=self.get_variable(
+                                         "qparams", "a_gelu", None))
+
+    def _calibration_mlp(self, x: jax.Array) -> jax.Array:
+        """XLA mirror of the fused int8 MLP that records the two quant-site
+        activation ranges ("a_x" block input, "a_gelu" post-gelu) into the
+        mutable "act_stats" collection (ops/quantization.merge_act_scales).
+        Attention stays the regular bf16 path at serving, so only the MLP
+        sub-block needs mirroring. Backend-agnostic."""
+        from nova_pointcloud_tpu.ops.quantization import (int8_matmul,
+                                                          quantize_weight)
+
+        def record(name, v):
+            self.sow("act_stats", name,
+                     jnp.max(jnp.abs(v)).astype(jnp.float32),
+                     reduce_fn=jnp.maximum,
+                     init_fn=lambda: jnp.zeros((), jnp.float32))
+
+        mp = self.mlp.variables["params"]
+        xf = x.astype(jnp.float32)
+        record("a_x", xf)
+        a = int8_matmul(xf, quantize_weight(mp["fc1"]["kernel"]),
+                        jnp.float32) + mp["fc1"]["bias"]
+        a = jax.nn.gelu(a, approximate=False)
+        record("a_gelu", a)
+        o = int8_matmul(a, quantize_weight(mp["fc2"]["kernel"]),
+                        jnp.float32) + mp["fc2"]["bias"]
+        return (xf + self.norm2(o)).astype(x.dtype)
 
     def __call__(self, x, bias=None, rope=None, cache=None, cache_index=None):
         h, cache = self.attn(x, bias, rope, cache, cache_index)
         x = x + self.norm1(h)
+        if (self.quantize and not self.is_initializing()
+                and self.is_mutable_collection("act_stats")):
+            return self._calibration_mlp(x), cache
         if (self.quantize and not self.is_initializing()
                 and jax.default_backend() == "tpu"):
             return self._fused_mlp(x), cache
@@ -196,7 +229,7 @@ class VisionTransformer(nn.Module):
             return self.pp_runner(block_apply, depth_params, h, extras), None
         body = nn.scan(
             _ViTScanBody,
-            variable_axes={"params": 0, "qparams": 0},
+            variable_axes={"params": 0, "qparams": 0, "act_stats": 0},
             split_rngs={"params": True},
             length=length,
             metadata_params={nn.meta.PARTITION_NAME: None},

@@ -433,15 +433,25 @@ def attention_block_vmem_bytes(t: int, d: int, sb: int = 1) -> int:
 
 
 def _mlp_postln_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
-                       lns_ref, lnb_ref, o_ref):
+                       lns_ref, lnb_ref, *rest, static_acts=False):
+    if static_acts:
+        ax_ref, ag_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
     x = x_ref[...].astype(jnp.float32)  # (TM, D)
-    q, sx = _quant_rows(x)
+    if static_acts:
+        q, sx = _quant_static(x, ax_ref[0, 0])
+    else:
+        q, sx = _quant_rows(x)
     a = jax.lax.dot_general(q, w1_ref[...], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.int32)
     a = a.astype(jnp.float32) * sx * s1_ref[0] + b1_ref[0]
     # exact gelu (NOVA ViT parity: nn.gelu(approximate=False), models/vit.py)
     a = 0.5 * a * (1.0 + _erf(a * (2.0 ** -0.5)))
-    q2, sx2 = _quant_rows(a)
+    if static_acts:
+        q2, sx2 = _quant_static(a, ag_ref[0, 0])
+    else:
+        q2, sx2 = _quant_rows(a)
     o = jax.lax.dot_general(q2, w2_ref[...], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.int32)
     o = o.astype(jnp.float32) * sx2 * s2_ref[0] + b2_ref[0]
@@ -453,7 +463,8 @@ def _mlp_postln_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
 def fused_int8_mlp_postln(x: jax.Array, w1q: jax.Array, s1: jax.Array,
                           b1: jax.Array, w2q: jax.Array, s2: jax.Array,
                           b2: jax.Array, ln_scale: jax.Array,
-                          ln_bias: jax.Array, block_m: int = 256) -> jax.Array:
+                          ln_bias: jax.Array, a_x=None, a_gelu=None,
+                          block_m: int = 256) -> jax.Array:
     """Post-sublayer-norm MLP residual, one VMEM-resident int8 pass:
 
         y = x + LN(gelu(q8(x) @ W1q) @ W2q)
@@ -461,6 +472,9 @@ def fused_int8_mlp_postln(x: jax.Array, w1q: jax.Array, s1: jax.Array,
     The NOVA ViT block's MLP sub-block (`models/vit.py` Block: post-norm,
     exact gelu — vs the pc PreLNBlock's pre-norm relu handled by
     fused_ln_int8_mlp). Serving/forward only; same quantize_weight layout.
+
+    ``a_x`` / ``a_gelu``: optional calibrated per-tensor activation amax for
+    the block-input and post-gelu quant sites (_quant_static).
     """
     orig_shape = x.shape
     d = x.shape[-1]
@@ -471,6 +485,7 @@ def fused_int8_mlp_postln(x: jax.Array, w1q: jax.Array, s1: jax.Array,
     if pad:
         xf = jnp.pad(xf, ((0, pad), (0, 0)))
     rows = xf.shape[0]
+    static_acts = a_x is not None
 
     def row2(a):
         return a.astype(jnp.float32).reshape(1, -1)
@@ -479,18 +494,25 @@ def fused_int8_mlp_postln(x: jax.Array, w1q: jax.Array, s1: jax.Array,
         return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                             memory_space=pltpu.VMEM)
 
+    in_specs = [
+        pl.BlockSpec((block_m, d), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        const((d, f)), const((1, f)), const((1, f)),
+        const((f, d)), const((1, d)), const((1, d)),
+        const((1, d)), const((1, d)),
+    ]
+    operands = [xf, w1q, row2(s1), row2(b1), w2q, row2(s2), row2(b2),
+                row2(ln_scale), row2(ln_bias)]
+    if static_acts:
+        in_specs += [const((1, 1)), const((1, 1))]
+        operands += [row2(jnp.asarray(a_x)), row2(jnp.asarray(a_gelu))]
+
     out = pl.pallas_call(
-        _mlp_postln_kernel,
+        functools.partial(_mlp_postln_kernel, static_acts=static_acts),
         out_shape=jax.ShapeDtypeStruct((rows, d), x.dtype),
         grid_spec=pl.GridSpec(
             grid=(rows // block_m,),
-            in_specs=[
-                pl.BlockSpec((block_m, d), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                const((d, f)), const((1, f)), const((1, f)),
-                const((f, d)), const((1, d)), const((1, d)),
-                const((1, d)), const((1, d)),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((block_m, d), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
         ),
@@ -499,8 +521,7 @@ def fused_int8_mlp_postln(x: jax.Array, w1q: jax.Array, s1: jax.Array,
             bytes_accessed=2 * rows * d * 2 + 2 * d * f,
             transcendentals=rows * f,
         ),
-    )(xf, w1q, row2(s1), row2(b1), w2q, row2(s2), row2(b2),
-      row2(ln_scale), row2(ln_bias))
+    )(*operands)
     if pad:
         out = out[:m]
     return out.reshape(orig_shape)
@@ -508,12 +529,19 @@ def fused_int8_mlp_postln(x: jax.Array, w1q: jax.Array, s1: jax.Array,
 
 def _diffusion_block_kernel(x_ref, zc_ref, ws_ref, ss_ref, bs_ref,
                             w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
-                            n2s_ref, n2b_ref, o_ref):
+                            n2s_ref, n2b_ref, *rest, static_acts=False):
+    if static_acts:
+        az_ref, ah_ref, as_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
     d = x_ref.shape[-1]
     x = x_ref[...].astype(jnp.float32)  # (TM, D)
     z = zc_ref[...].astype(jnp.float32)
     z = _silu(z)
-    qz, sz = _quant_rows(z)
+    if static_acts:
+        qz, sz = _quant_static(z, az_ref[0, 0])
+    else:
+        qz, sz = _quant_rows(z)
     stats = jax.lax.dot_general(qz, ws_ref[...], (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.int32)
     stats = stats.astype(jnp.float32) * sz * ss_ref[0] + bs_ref[0]  # (TM, 3D)
@@ -522,12 +550,18 @@ def _diffusion_block_kernel(x_ref, zc_ref, ws_ref, ss_ref, bs_ref,
     shift = jax.lax.slice(stats, (0, d), (t, 2 * d))
     gate = jax.lax.slice(stats, (0, 2 * d), (t, 3 * d))
     h = _ln(x, 1.0, 0.0) * (1.0 + scale) + shift  # AdaLN-zero (no ln affine)
-    qh, sh = _quant_rows(h)
+    if static_acts:
+        qh, sh = _quant_static(h, ah_ref[0, 0])
+    else:
+        qh, sh = _quant_rows(h)
     a = jax.lax.dot_general(qh, w1_ref[...], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.int32)
     a = a.astype(jnp.float32) * sh * s1_ref[0] + b1_ref[0]
     a = _silu(a)  # Projector activation (diffusion_mlp.py:26-36)
-    qa, sa = _quant_rows(a)
+    if static_acts:
+        qa, sa = _quant_static(a, as_ref[0, 0])
+    else:
+        qa, sa = _quant_rows(a)
     o = jax.lax.dot_general(qa, w2_ref[...], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.int32)
     o = o.astype(jnp.float32) * sa * s2_ref[0] + b2_ref[0]
@@ -542,6 +576,7 @@ def fused_int8_diffusion_block(x: jax.Array, zc: jax.Array,
                                s1: jax.Array, b1: jax.Array, w2q: jax.Array,
                                s2: jax.Array, b2: jax.Array,
                                n2_scale: jax.Array, n2_bias: jax.Array,
+                               a_z=None, a_h=None, a_silu=None,
                                block_m: int = 256) -> jax.Array:
     """One DiffusionMLP block (`models/diffusion_mlp.DiffusionBlock`,
     reference `diffusion_mlp.py:39-53`) as a single VMEM-resident int8 pass:
@@ -553,6 +588,10 @@ def fused_int8_diffusion_block(x: jax.Array, zc: jax.Array,
 
     This is the inner 25-step token-diffusion loop of every sampler (t2i /
     t2v / masked-AR pc) — it runs 25 x ar_steps times per sample.
+
+    ``a_z`` / ``a_h`` / ``a_silu``: optional calibrated per-tensor activation
+    amax for the three quant sites (post-silu cond, post-AdaLN hidden,
+    post-silu mid; _quant_static).
     """
     orig_shape = x.shape
     d = x.shape[-1]
@@ -564,6 +603,7 @@ def fused_int8_diffusion_block(x: jax.Array, zc: jax.Array,
         xf = jnp.pad(xf, ((0, pad), (0, 0)))
         zf = jnp.pad(zf, ((0, pad), (0, 0)))
     rows = xf.shape[0]
+    static_acts = a_z is not None
 
     def row2(a):
         return a.astype(jnp.float32).reshape(1, -1)
@@ -572,21 +612,30 @@ def fused_int8_diffusion_block(x: jax.Array, zc: jax.Array,
         return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                             memory_space=pltpu.VMEM)
 
+    in_specs = [
+        pl.BlockSpec((block_m, d), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_m, d), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        const((d, 3 * d)), const((1, 3 * d)), const((1, 3 * d)),
+        const((d, d)), const((1, d)), const((1, d)),
+        const((d, d)), const((1, d)), const((1, d)),
+        const((1, d)), const((1, d)),
+    ]
+    operands = [xf, zf, wstats_q, row2(stats_s), row2(stats_b),
+                w1q, row2(s1), row2(b1), w2q, row2(s2), row2(b2),
+                row2(n2_scale), row2(n2_bias)]
+    if static_acts:
+        in_specs += [const((1, 1)), const((1, 1)), const((1, 1))]
+        operands += [row2(jnp.asarray(a_z)), row2(jnp.asarray(a_h)),
+                     row2(jnp.asarray(a_silu))]
+
     out = pl.pallas_call(
-        _diffusion_block_kernel,
+        functools.partial(_diffusion_block_kernel, static_acts=static_acts),
         out_shape=jax.ShapeDtypeStruct((rows, d), x.dtype),
         grid_spec=pl.GridSpec(
             grid=(rows // block_m,),
-            in_specs=[
-                pl.BlockSpec((block_m, d), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((block_m, d), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                const((d, 3 * d)), const((1, 3 * d)), const((1, 3 * d)),
-                const((d, d)), const((1, d)), const((1, d)),
-                const((d, d)), const((1, d)), const((1, d)),
-                const((1, d)), const((1, d)),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((block_m, d), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
         ),
@@ -595,8 +644,7 @@ def fused_int8_diffusion_block(x: jax.Array, zc: jax.Array,
             bytes_accessed=3 * rows * d * 2 + 5 * d * d,
             transcendentals=2 * rows * d,
         ),
-    )(xf, zf, wstats_q, row2(stats_s), row2(stats_b), w1q, row2(s1), row2(b1),
-      w2q, row2(s2), row2(b2), row2(n2_scale), row2(n2_bias))
+    )(*operands)
     if pad:
         out = out[:m]
     return out.reshape(orig_shape)

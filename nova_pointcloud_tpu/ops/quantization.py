@@ -154,7 +154,11 @@ def quantize_serving_params(params) -> dict:
 # (ops/pallas/fused_block._quant_static) and skip the reduce — measured ~12%
 # of the fused-MLP pass at flagship shapes. Site names sown by
 # PreLNBlock._calibration_forward (models/pointcloud.py).
-ACT_SITE_NAMES = ("a_ln1", "a_av", "a_ln2", "a_mid")
+ACT_SITE_NAMES = (
+    "a_ln1", "a_av", "a_ln2", "a_mid",  # PreLNBlock (models/pointcloud.py)
+    "a_x", "a_gelu",                    # ViT Block MLP (models/vit.py)
+    "a_z", "a_h", "a_silu",             # DiffusionBlock (models/diffusion_mlp.py)
+)
 
 
 def merge_act_scales(qparams, act_stats, margin: float = 1.0):

@@ -266,6 +266,62 @@ def test_pipeline_calibrate_cpu_smoke():
     assert np.isfinite(out.point_clouds).all()
 
 
+def test_vit_block_calibration_and_static_serving(monkeypatch):
+    """vit.Block sows a_x/a_gelu under mutable act_stats; merged qparams run
+    the fused post-LN MLP with static scales close to the dynamic path."""
+    from nova_pointcloud_tpu.models.vit import Block
+    from nova_pointcloud_tpu.ops.quantization import (merge_act_scales,
+                                                      quantize_serving_params)
+
+    key = jax.random.PRNGKey(31)
+    blk = Block(dim=128, num_heads=4, quantize=True)
+    x = jax.random.normal(key, (2, 32, 128), jnp.float32) * 0.3
+    params = blk.init(key, x)["params"]
+    (_, _), vs = blk.apply({"params": params}, x, mutable=["act_stats"])
+    stats = vs["act_stats"]
+    assert set(stats) == {"a_x", "a_gelu"}
+    qp = quantize_serving_params(params)
+    qp_static = merge_act_scales(qp, stats, margin=1.05)
+
+    import nova_pointcloud_tpu.models.vit as vit_mod
+    monkeypatch.setattr(vit_mod.jax, "default_backend", lambda: "tpu")
+    with pltpu.force_tpu_interpret_mode():
+        dyn, _ = blk.apply({"params": params, "qparams": qp}, x)
+        stat, _ = blk.apply({"params": params, "qparams": qp_static}, x)
+    dyn, stat = np.asarray(dyn, np.float32), np.asarray(stat, np.float32)
+    assert np.abs(stat - dyn).mean() / np.abs(dyn).mean() < 3e-2
+
+
+def test_diffusion_block_calibration_and_static_serving(monkeypatch):
+    """DiffusionBlock sows a_z/a_h/a_silu; merged qparams serve static."""
+    from nova_pointcloud_tpu.models.diffusion_mlp import DiffusionBlock
+    from nova_pointcloud_tpu.ops.quantization import (merge_act_scales,
+                                                      quantize_serving_params)
+
+    key = jax.random.PRNGKey(32)
+    d = 128
+    x = jax.random.normal(key, (2, 24, d), jnp.float32) * 0.5
+    z = jax.random.normal(jax.random.PRNGKey(33), (2, 24, d), jnp.float32)
+    blk = DiffusionBlock(d, quantize=True)
+    params = blk.init(key, x, z)["params"]
+    params["norm1"]["proj"]["kernel"] = jax.random.normal(
+        jax.random.PRNGKey(34), (d, 3 * d)) * 0.05  # give zero-init signal
+
+    _, vs = blk.apply({"params": params}, x, z, mutable=["act_stats"])
+    stats = vs["act_stats"]
+    assert set(stats) == {"a_z", "a_h", "a_silu"}
+    qp = quantize_serving_params(params)
+    qp_static = merge_act_scales(qp, stats, margin=1.05)
+
+    import nova_pointcloud_tpu.models.diffusion_mlp as dm_mod
+    monkeypatch.setattr(dm_mod.jax, "default_backend", lambda: "tpu")
+    with pltpu.force_tpu_interpret_mode():
+        dyn = blk.apply({"params": params, "qparams": qp}, x, z)
+        stat = blk.apply({"params": params, "qparams": qp_static}, x, z)
+    dyn, stat = np.asarray(dyn, np.float32), np.asarray(stat, np.float32)
+    assert np.abs(stat - dyn).mean() / np.abs(dyn).mean() < 3e-2
+
+
 def test_fused_int8_mlp_postln_matches_xla_math():
     """Post-LN gelu MLP kernel == unfused int8 math (ViT Block serving)."""
     from nova_pointcloud_tpu.ops.pallas.fused_block import fused_int8_mlp_postln
