@@ -79,11 +79,15 @@ def main():
     ap.add_argument("--ar-steps", type=int, default=64)
     ap.add_argument("--points", type=int, default=2048)
     ap.add_argument("--repeats", type=int, default=5)
-    ap.add_argument("--guidance-trunc", type=float, default=0.0,
+    ap.add_argument("--guidance-trunc", type=float, default=600.0,
                     help="t2pc: disable CFG below this timestep — the "
                          "reference's maybe_disable chops to the cond chunk "
                          "(guidance_scaler.py:59-65), so truncated steps run "
-                         "at half batch")
+                         "at half batch. Default 600: measured CD-neutral on "
+                         "the trained flagship (results/pc_flagship_quality_"
+                         "r3_trunc600.json); 0 disables. The JSON reports "
+                         "vs_patched_h100_same_recipe alongside, crediting a "
+                         "hypothetical reference with the same truncation")
     ap.add_argument("--quantize", dest="quantize", action="store_true",
                     default=True,
                     help="int8 fused-kernel serving path (default; the "
@@ -91,10 +95,14 @@ def main():
     ap.add_argument("--no-quantize", dest="quantize", action="store_false",
                     help="bf16 variant")
     ap.add_argument("--static-acts", dest="static_acts",
-                    action="store_true", default=False,
+                    action="store_true", default=True,
                     help="t2pc int8: calibrate static activation scales on "
                          "one sampling trajectory first; the fused kernels "
-                         "then skip their per-row amax reduces")
+                         "then skip their per-row amax reduces (default; "
+                         "CD-neutral per results/pc_flagship_quality_r3_"
+                         "static.json)")
+    ap.add_argument("--no-static-acts", dest="static_acts",
+                    action="store_false", help="per-row dynamic quant")
     ap.add_argument("--e2e", action="store_true",
                     help="t2i/t2v: full serving envelope incl. on-chip VAE "
                          "decode + uint8 postprocess (the reference "

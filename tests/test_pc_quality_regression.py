@@ -179,3 +179,24 @@ def test_trained_tiny_masked_ar_beats_noise_on_cd():
     assert trained["chamfer"] < CD_IMPROVEMENT * baseline["chamfer"], (
         f"trained masked-AR CD {trained['chamfer']:.4f} vs noise "
         f"{baseline['chamfer']:.4f}")
+
+
+def test_recorded_static_acts_artifact_within_delta():
+    """The committed flagship artifact must show the calibrated-static int8
+    path within 10% of bf16 on sampled CD (guards against committing a
+    quality-regressing static-quant recipe as 'the' serving config —
+    bench.py serves --static-acts by default)."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "results",
+                        "pc_flagship_quality_r3_static.json")
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("artifact not recorded on this checkout")
+    r = json.load(open(path))
+    bf16 = r["bf16"]["best_chamfer"]
+    static = r["int8_static"]["best_chamfer"]
+    delta = abs(static - bf16) / bf16
+    assert delta <= 0.10, (static, bf16, delta)
