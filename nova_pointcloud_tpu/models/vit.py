@@ -40,13 +40,41 @@ class MLP(nn.Module):
 
 
 class Attention(nn.Module):
+    """``quantize`` switches the qkv/out projections (~1/3 of block matmul
+    FLOPs) to int8 at serving time. Profiling (round 3): the t2i sampler is
+    98% encode_image_step — the 48-layer ViT pass — so the attention
+    projections are the largest bf16 matmuls left on the t2i/t2v serving
+    path. The attention core itself stays bf16 (RoPE / visibility-bias /
+    KV-cache live in XLA or the flash kernel). Param tree unchanged."""
+
     dim: int
     num_heads: int
     qkv_bias: bool = True
     attn_impl: str = "auto"
+    quantize: bool = False
     dtype: Any = None
 
-    @nn.compact
+    def setup(self):
+        self.qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias,
+                            dtype=self.dtype)
+        self.proj = nn.Dense(self.dim, dtype=self.dtype)
+
+    def _int8_proj(self, x: jax.Array, dense: nn.Dense, qname: str) -> jax.Array:
+        """Serving projection: q8(x) @ int8-kernel, prequantized weights from
+        the "qparams" collection when provided, else quantized in-graph."""
+        from nova_pointcloud_tpu.ops.quantization import (QuantizedWeight,
+                                                          int8_matmul,
+                                                          quantize_weight)
+
+        qv = self.get_variable("qparams", f"{qname}_q", None)
+        if qv is not None:
+            qw = QuantizedWeight(qv, self.get_variable("qparams", f"{qname}_s"))
+        else:
+            qw = quantize_weight(dense.variables["params"]["kernel"])
+        y = int8_matmul(x, qw, self.dtype or x.dtype)
+        bias = dense.variables["params"].get("bias")
+        return y if bias is None else y + bias.astype(y.dtype)
+
     def __call__(self, x: jax.Array, bias: Optional[jax.Array] = None,
                  rope: Optional[Tuple[jax.Array, jax.Array]] = None,
                  cache: Optional[KVCache] = None,
@@ -54,7 +82,9 @@ class Attention(nn.Module):
                  ) -> Tuple[jax.Array, Optional[KVCache]]:
         b, l, _ = x.shape
         head_dim = self.dim // self.num_heads
-        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        use_int8 = (self.quantize and not self.is_initializing()
+                    and jax.default_backend() == "tpu")
+        qkv = self._int8_proj(x, self.qkv, "qkv") if use_int8 else self.qkv(x)
         qkv = qkv.reshape(b, l, 3, self.num_heads, head_dim)
         q, k, v = [qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3)]
         if rope is not None:
@@ -65,7 +95,9 @@ class Attention(nn.Module):
         else:
             o = attention(q, k, v, bias, impl=self.attn_impl)
         o = o.transpose(0, 2, 1, 3).reshape(b, l, self.dim)
-        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(o), cache
+        out = self._int8_proj(o, self.proj, "proj") if use_int8 \
+            else self.proj(o)
+        return out, cache
 
 
 class Block(nn.Module):
@@ -88,7 +120,8 @@ class Block(nn.Module):
 
     def setup(self):
         self.attn = Attention(self.dim, self.num_heads, self.qkv_bias,
-                              self.attn_impl, dtype=self.dtype)
+                              self.attn_impl, quantize=self.quantize,
+                              dtype=self.dtype)
         self.norm1 = nn.LayerNorm()
         self.norm2 = nn.LayerNorm()
         self.mlp = MLP(self.dim, self.mlp_ratio, dtype=self.dtype)

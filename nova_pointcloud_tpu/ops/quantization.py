@@ -89,12 +89,20 @@ def _is_vit_block(tree) -> bool:
 
 
 def _quantize_vit_block(bp) -> dict:
-    """ViT Block (optionally depth-stacked) -> serving q-leaves for the
-    fused int8 post-LN MLP path (models/vit.Block._fused_mlp). Attention
-    stays bf16 (bias/RoPE/KV-cache paths live in XLA)."""
+    """ViT Block (optionally depth-stacked) -> serving q-leaves: the fused
+    int8 post-LN MLP (models/vit.Block._fused_mlp) plus int8 qkv/out
+    projections (models/vit.Attention._int8_proj; nested at the attn module
+    path). The attention CORE stays bf16 (bias/RoPE/KV-cache live in XLA
+    or the flash kernel)."""
     q = {}
     q["fc1_q"], q["fc1_s"] = quantize_weight_nd(bp["mlp"]["fc1"]["kernel"])
     q["fc2_q"], q["fc2_s"] = quantize_weight_nd(bp["mlp"]["fc2"]["kernel"])
+    attn = {}
+    attn["qkv_q"], attn["qkv_s"] = quantize_weight_nd(
+        bp["attn"]["qkv"]["kernel"])
+    attn["proj_q"], attn["proj_s"] = quantize_weight_nd(
+        bp["attn"]["proj"]["kernel"])
+    q["attn"] = attn
     return q
 
 

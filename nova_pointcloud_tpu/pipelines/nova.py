@@ -55,6 +55,9 @@ class NOVAPipeline:
         # the scanned ViT stacks + batch on "data" inside the jitted
         # sampler; XLA places the qkv/MLP all-reduces on ICI.
         self.mesh = mesh
+        # phased MAE-gather encoder in the AR sampler (see _make_sampler);
+        # exposed for A/B tests and debugging
+        self.enable_bucket_phases = True
         self._samplers: Dict[Tuple, Any] = {}
         # jit everything touching params: eager dispatch is slow on TPU hosts
         self._embed_text = jax.jit(
@@ -123,6 +126,29 @@ class NOVAPipeline:
         starts, pad_p = masking.pred_boundaries(counts)
         counts_a = jnp.asarray(counts, jnp.int32)
         starts_a = jnp.asarray(starts, jnp.int32)
+        # Phased MAE gather for the encoder half (round-3 t2i/t2v serving):
+        # during sampling the visible count grows 0 -> ni over the AR steps
+        # and the encoder half only needs visible tokens (the reference
+        # gathers them, `vision_transformer.py:133-143`). lax.scan needs
+        # uniform shapes, so the AR scan is split into phases with one
+        # STATIC visible bucket each (ni/8, ni/4, ni/2, then the full
+        # masking path) — numerically equal to full-length masking
+        # (models/vit.py use_gather; tests/test_mae_gather.py), with the
+        # early-phase encoder half at a fraction of the sequence length.
+        bucket_phases = None
+        if self.enable_bucket_phases and S > 1 and ni >= 64:
+            plan, s_cur = [], 0
+            for frac in (8, 4, 2):
+                bucket = ni // frac
+                # last step whose visible count still fits this bucket
+                end = int(np.searchsorted(starts, bucket, side="right"))
+                if end > s_cur:
+                    plan.append((s_cur, end, bucket))
+                    s_cur = end
+            if s_cur < S:
+                plan.append((s_cur, S, None))
+            if len(plan) > 1:
+                bucket_phases = plan
 
         def sched_step(pred, j, t, x, key):
             if is_flow:
@@ -149,14 +175,15 @@ class NOVAPipeline:
                 canvas0 = jnp.zeros((batch, ni, pd), jnp.float32)
                 mask0 = jnp.ones((batch, ni, 1), jnp.float32)
 
-                def ar_body(carry, i):
+                def ar_body(carry, i, bucket=None):
                     canvas, mask, key = carry
                     key, k_noise, k_diff = jax.random.split(key, 3)
                     scale = guidance.decayed_scale((i + 1.0) / S)
                     tokens = apply(model.tokens_from_patches, canvas)
                     tokens_e = jnp.tile(tokens, (n_passes, 1, 1))
                     mask_e = jnp.tile(mask, (n_passes, 1, 1))
-                    z = apply(model.encode_image_step, tokens_e, mask_e, cond)
+                    z = apply(model.encode_image_step, tokens_e, mask_e, cond,
+                              visible_bucket=bucket)
                     ids, valid = masking.pred_slice(order, starts_a[i],
                                                     counts_a[i], pad_p)
                     ids_e = jnp.tile(ids, (n_passes, 1))
@@ -182,9 +209,14 @@ class NOVAPipeline:
                     canvas = canvas * (1.0 - pred_mask) + scattered
                     return (canvas, mask * (1.0 - pred_mask), key), None
 
-                (canvas, _, _), _ = jax.lax.scan(
-                    ar_body, (canvas0, mask0, k_loop), jnp.arange(S))
-                return canvas
+                carry = (canvas0, mask0, k_loop)
+                if bucket_phases is None:
+                    carry, _ = jax.lax.scan(ar_body, carry, jnp.arange(S))
+                else:
+                    for s_b, s_e, bucket in bucket_phases:
+                        carry, _ = jax.lax.scan(partial(ar_body, bucket=bucket),
+                                                carry, jnp.arange(s_b, s_e))
+                return carry[0]
 
             nb = batch * n_passes
             if T == 1:
@@ -248,6 +280,7 @@ class NOVAPipeline:
 
     def _get_sampler(self, **kw):
         key = tuple(sorted((k, str(v)) for k, v in kw.items()))
+        key += (("bucket_phases", self.enable_bucket_phases),)
         if key not in self._samplers:
             self._samplers[key] = self._make_sampler(**kw)
         return self._samplers[key]

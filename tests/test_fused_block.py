@@ -372,7 +372,8 @@ def test_vit_block_quantized_serving_matches_xla(monkeypatch):
     with pltpu.force_tpu_interpret_mode():
         out, _ = q_blk.apply({"params": params}, x)
         qp = quantize_serving_params(params)
-        assert set(qp) == {"fc1_q", "fc1_s", "fc2_q", "fc2_s"}
+        assert set(qp) == {"fc1_q", "fc1_s", "fc2_q", "fc2_s", "attn"}
+        assert set(qp["attn"]) == {"qkv_q", "qkv_s", "proj_q", "proj_s"}
         out_pre, _ = q_blk.apply({"params": params, "qparams": qp}, x)
     err = np.abs(np.asarray(out) - np.asarray(ref))
     scale = np.abs(np.asarray(ref)).mean()

@@ -170,3 +170,29 @@ class TestGeneration:
         b = pipe(["x"], num_inference_steps=4, num_diffusion_steps=2,
                  key=jax.random.PRNGKey(5)).latents
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_bucket_phased_sampler_matches_full_masking():
+    """The phased MAE-gather AR sampler (static visible buckets per phase,
+    round-3 serving path) matches the full-length masking sampler given the
+    same key — the gather is numerically equivalent (models/vit.py
+    use_gather), and the RNG stream is untouched by the phase split."""
+    cfg = dict(TINY)
+    cfg["image_base_size"] = (8, 8)  # ni=64: enables bucket phases
+    model = NOVATransformer(noise_scheduler=FlowMatchEulerScheduler(), **cfg)
+    h, w = model.latent_hw
+    rngs = {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1),
+            "time": jax.random.PRNGKey(2), "noise": jax.random.PRNGKey(3),
+            "dropout": jax.random.PRNGKey(4)}
+    params = jax.jit(model.init)(
+        rngs, jnp.zeros((2, 1, h, w, 4)), jnp.zeros((2, 8, 32)))["params"]
+    pipe = NOVAPipeline(model, params, FlowMatchEulerScheduler(),
+                        text_encoder=DummyTextEncoder(32, 8))
+    kw = dict(num_inference_steps=8, num_diffusion_steps=2,
+              key=jax.random.PRNGKey(5))
+    phased = pipe(["a chair"], **kw).latents
+    pipe.enable_bucket_phases = False
+    full = pipe(["a chair"], **kw).latents
+    assert phased.shape == full.shape
+    np.testing.assert_allclose(np.asarray(phased), np.asarray(full),
+                               atol=1e-3, rtol=1e-3)
