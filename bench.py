@@ -307,6 +307,11 @@ def bench_t2i(args):
     print(f"# t2i d48w1024 params={n_params/1e6:.1f}M batch={batch} "
           f"ar={args.ar_steps} diff={args.steps} e2e={args.e2e}",
           file=sys.stderr)
+    if args.static_acts and args.quantize and on_tpu:
+        t0 = time.perf_counter()
+        pipe.calibrate(prompts, num_inference_steps=16,
+                       num_diffusion_steps=args.steps)
+        print(f"# calibrate={time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     def run(key, output_type="latent"):
         out = pipe(prompts, num_inference_steps=args.ar_steps,
@@ -354,6 +359,7 @@ def bench_t2i(args):
         "serving_dtype": ("w8a8-int8 fused pallas ViT MLP"
                          if args.quantize and on_tpu else "bf16"),
         "value": round(sps, 3), "unit": "samples/sec/chip",
+        "static_acts": bool(args.static_acts and args.quantize and on_tpu),
         "vs_baseline": round(sps / T2I_H100_EST_IMAGES_PER_SEC, 3),
         "baseline_note": "H100 est. for the reference design (measured "
                          "139.1 TFLOP/image via torch FlopCounterMode at "

@@ -90,7 +90,29 @@ class Attention(nn.Module):
         if rope is not None:
             cos, sin = rope
             q, k = apply_rope(q, cos, sin), apply_rope(k, cos, sin)
-        if cache is not None:
+        if (self.quantize and not self.is_initializing()
+                and self.is_mutable_collection("act_stats")
+                and cache is None):
+            # calibration: record the max attention logit; serving uses it
+            # as the static softmax offset (flash_attention_static)
+            s = jnp.einsum("bhqd,bhkd->bhqk",
+                           q.astype(jnp.float32) * head_dim ** -0.5,
+                           k.astype(jnp.float32))
+            if bias is not None:
+                s = s + bias
+            self.sow("act_stats", "a_smax",
+                     jnp.max(s).astype(jnp.float32),
+                     reduce_fn=jnp.maximum,
+                     init_fn=lambda: jnp.float32(-1e30))
+        smax = self.get_variable("qparams", "a_smax", None)
+        key_bias = (bias is None or (bias.ndim == 4 and bias.shape[1] == 1
+                                     and bias.shape[2] == 1))
+        if use_int8 and smax is not None and cache is None and key_bias:
+            from nova_pointcloud_tpu.ops.pallas.flash_attention import (
+                flash_attention_static)
+
+            o = flash_attention_static(q, k, v, smax, bias)
+        elif cache is not None:
             o, cache = cached_attention(q, k, v, cache, cache_index, bias)
         else:
             o = attention(q, k, v, bias, impl=self.attn_impl)

@@ -363,6 +363,108 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 # ---------------------------------------------------------------------------
 # public entry: bias normalization + padding, then the custom-vjp core
 # ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------
+# serving-only static-max attention (calibrated softmax offset)
+# ---------------------------------------------------------------------------
+def _static_kernel(q_ref, k_ref, ve_ref, kb_ref, o_ref, *, sm_scale, d):
+    """One (bh, q-block) program, whole key length resident:
+
+        p   = exp(min(q k^T * scale + kbias - smax, 20))
+        o,l = p @ [v | 1]          # ones column -> the softmax denominator
+        out = o / l
+
+    vs the online-softmax kernel this removes the running max/rescale chain
+    and BOTH lane-wise reductions (max, sum): the denominator comes out of
+    the MXU as an extra output column, and the calibrated offset replaces
+    the max. p is cast bf16 for the second dot (full-rate MXU; ~2^-8
+    relative error on attention weights, fine for serving). kb holds
+    (key_bias - smax) precomputed, so the kernel adds ONE row vector.
+    The profiled online-softmax kernel runs the t2i decoder core at
+    ~21 TF/s — VPU-bound on exactly the ops removed here."""
+    q = q_ref[0].astype(jnp.float32) * sm_scale  # (blk_q, d)
+    k = k_ref[0]                                  # (lk, d) bf16
+    s = jax.lax.dot_general(q.astype(jnp.bfloat16), k,
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s = s + kb_ref[0]  # (1, lk) broadcast: key bias - smax
+    p = jnp.exp(jnp.minimum(s, 20.0)).astype(jnp.bfloat16)
+    ol = jax.lax.dot_general(p, ve_ref[0], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    o = jax.lax.slice(ol, (0, 0), (ol.shape[0], d))
+    l = jax.lax.slice(ol, (0, d), (ol.shape[0], d + 1))
+    o_ref[0] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("blk_q",))
+def flash_attention_static(q: jax.Array, k: jax.Array, v: jax.Array,
+                           smax, bias: Optional[jax.Array] = None,
+                           blk_q: int = 352) -> jax.Array:
+    """Serving-only attention with a CALIBRATED static softmax offset.
+
+    q, k, v: (B, H, L, D) -> (B, H, Lq, D). ``smax`` is the calibrated max
+    attention logit (scalar; models/vit.Attention sows "a_smax" during
+    pipeline calibration). Scores are offset by -smax and clipped at +20
+    before exp, so outliers beyond calibration saturate instead of
+    overflowing. bias: None or key bias (B, 1, 1, Lk). Forward only — the
+    training path keeps the differentiable online-softmax kernel."""
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    orig_lq = lq
+    bh = b * h
+
+    kb = jnp.zeros((b, lk), jnp.float32)
+    if bias is not None:
+        if bias.ndim != 4 or bias.shape[1] != 1 or bias.shape[2] != 1:
+            raise ValueError(f"static kernel needs a key bias, got "
+                             f"{None if bias is None else bias.shape}")
+        kb = jnp.broadcast_to(bias[:, 0, 0, :], (b, lk)).astype(jnp.float32)
+    kb = kb - jnp.asarray(smax, jnp.float32)
+    kb = jnp.repeat(kb, h, axis=0)[:, None, :]  # (bh, 1, lk)
+
+    # ones column rides the value matrix; pad lanes to a 128 multiple
+    ve = jnp.concatenate(
+        [v, jnp.ones(v.shape[:3] + (1,), v.dtype)], axis=-1)
+    pad_d = (-(d + 1)) % 128
+    if pad_d:
+        ve = jnp.pad(ve, ((0, 0), (0, 0), (0, 0), (0, pad_d)))
+    de = ve.shape[-1]
+
+    blk_q = min(blk_q, lq)
+    pad_q = (-lq) % blk_q
+    if pad_q:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
+        lq += pad_q
+
+    out = pl.pallas_call(
+        functools.partial(_static_kernel, sm_scale=d**-0.5, d=d),
+        out_shape=jax.ShapeDtypeStruct((bh, lq, d), q.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(bh, lq // blk_q),
+            in_specs=[
+                pl.BlockSpec((1, blk_q, d), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, lk, d), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, lk, de), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, lk), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, blk_q, d), lambda i, j: (i, j, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * lq * lk * d,
+            bytes_accessed=bh * (lq + 3 * lk) * d * q.dtype.itemsize,
+            transcendentals=bh * lq * lk,
+        ),
+    )(q.reshape(bh, lq, d).astype(jnp.bfloat16),
+      k.reshape(bh, lk, d).astype(jnp.bfloat16),
+      ve.reshape(bh, lk, de).astype(jnp.bfloat16), kb)
+    out = out.reshape(b, h, lq, d)
+    return out[:, :, :orig_lq]
+
+
 @functools.partial(jax.jit, static_argnames=("blk_q", "blk_k"))
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     bias: Optional[jax.Array] = None,

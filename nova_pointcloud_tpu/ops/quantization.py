@@ -166,7 +166,9 @@ ACT_SITE_NAMES = (
     "a_ln1", "a_av", "a_ln2", "a_mid",  # PreLNBlock (models/pointcloud.py)
     "a_x", "a_gelu",                    # ViT Block MLP (models/vit.py)
     "a_z", "a_h", "a_silu",             # DiffusionBlock (models/diffusion_mlp.py)
-)
+    "a_smax",                           # max attention logit (vit.Attention;
+)                                       # static softmax offset, NOT an amax —
+                                        # margin does not apply
 
 
 def merge_act_scales(qparams, act_stats, margin: float = 1.0):
@@ -186,7 +188,8 @@ def merge_act_scales(qparams, act_stats, margin: float = 1.0):
         out = dict(q) if isinstance(q, dict) else {}
         for k, v in s.items():
             if k in ACT_SITE_NAMES:
-                out[k] = jnp.asarray(v, jnp.float32) * margin
+                m = 1.0 if k == "a_smax" else margin  # logit, not an amax
+                out[k] = jnp.asarray(v, jnp.float32) * m
             else:
                 out[k] = merge(out.get(k, {}), v)
         return out
@@ -195,8 +198,20 @@ def merge_act_scales(qparams, act_stats, margin: float = 1.0):
 
 
 def max_merge_stats(a, b):
-    """Elementwise running max of two act_stats trees (across calib steps)."""
-    return jax.tree.map(jnp.maximum, a, b)
+    """Running max of two act_stats trees (across calibration steps).
+
+    Union-merges: a key present in only one tree is kept as-is (different
+    forward paths — e.g. the NOVA encoder vs the diffusion head — sow
+    different subtrees)."""
+    if isinstance(a, dict) or isinstance(b, dict):
+        out = {}
+        for k in set(a) | set(b):
+            if k in a and k in b:
+                out[k] = max_merge_stats(a[k], b[k])
+            else:
+                out[k] = a[k] if k in a else b[k]
+        return out
+    return jnp.maximum(a, b)
 
 
 class Int8Dense(nn.Module):

@@ -58,6 +58,8 @@ class NOVAPipeline:
         # phased MAE-gather encoder in the AR sampler (see _make_sampler);
         # exposed for A/B tests and debugging
         self.enable_bucket_phases = True
+        # calibrated static activation scales + softmax offsets (calibrate())
+        self.act_scales = None
         self._samplers: Dict[Tuple, Any] = {}
         # jit everything touching params: eager dispatch is slow on TPU hosts
         self._embed_text = jax.jit(
@@ -156,6 +158,9 @@ class NOVAPipeline:
             return scheduler.step(pred, t.astype(jnp.int32), x, key=key,
                                   schedule=sched)
 
+        act_scales = self.act_scales
+        act_margin = getattr(self, "_act_margin", 1.0)
+
         def sample(params, c_text, key, latents0=None):
             variables = {"params": params}
             if (getattr(model, "quantize", False)
@@ -163,8 +168,14 @@ class NOVAPipeline:
                 # int8 weights once per call, OUTSIDE the AR/diffusion scans
                 # (ops/quantization.quantize_serving_params docstring)
                 from nova_pointcloud_tpu.ops.quantization import (
-                    quantize_serving_params)
-                variables["qparams"] = quantize_serving_params(params)
+                    merge_act_scales, quantize_serving_params)
+                qp = quantize_serving_params(params)
+                if act_scales is not None:
+                    # calibrated static activation scales + softmax offsets:
+                    # fused kernels skip per-row amax reduces and attention
+                    # runs the static-max kernel (calibrate())
+                    qp = merge_act_scales(qp, act_scales, margin=act_margin)
+                variables["qparams"] = qp
             apply = lambda method, *a, **kw: model.apply(  # noqa: E731
                 variables, *a, method=method, **kw)
 
@@ -278,9 +289,135 @@ class NOVAPipeline:
         return jax.jit(sample, in_shardings=tuple(in_sh),
                        out_shardings=batch_sharding(mesh, 4))
 
+    # -- calibration --------------------------------------------------------------
+    def calibrate(self, prompt: Optional[Sequence[str]] = None,
+                  negative_prompt: Optional[Sequence[str]] = None,
+                  prompt_embeds: Optional[np.ndarray] = None,
+                  num_inference_steps: int = 16,
+                  num_diffusion_steps: int = 25,
+                  guidance_scale: float = 5.0,
+                  key: Optional[jax.Array] = None,
+                  margin: float = 1.05):
+        """Record activation ranges + max attention logits over one real
+        (shortened) AR sampling trajectory; fold them into every subsequent
+        sampler as static int8 scales and static softmax offsets.
+
+        Runs the actual masked-AR algorithm (encoder pass, padded pred
+        slice, diffusion loop, scatter) through mutable-"act_stats" applies
+        — the block mirrors (models/vit.Block._calibration_mlp,
+        models/diffusion_mlp.DiffusionBlock._calibration_forward) and the
+        attention logit sow (models/vit.Attention). A 16-step schedule
+        covers the same mask-ratio range as the 64-step one; activation
+        ranges are mask-ratio-, not step-count-, dependent. One-time per
+        loaded checkpoint; backend-agnostic."""
+        from nova_pointcloud_tpu.ops.quantization import max_merge_stats
+
+        model, scheduler = self.model, self.scheduler
+        if isinstance(prompt, str):
+            prompt = [prompt]
+        key = key if key is not None else jax.random.PRNGKey(0)
+        guidance = GuidanceConfig(guidance_scale=guidance_scale)
+        c = self.encode_prompt(prompt, negative_prompt, guidance,
+                               prompt_embeds=prompt_embeds)
+        n_passes = guidance.num_passes
+        batch = c.shape[0] // n_passes
+        nb = batch * n_passes
+        ni, pd = model.num_image_tokens, model.patch_dim
+        D = num_diffusion_steps
+        is_flow = isinstance(scheduler, FlowMatchEulerScheduler)
+        sched = scheduler.set_timesteps(D)
+        ts = jnp.asarray(sched.timesteps, jnp.float32)
+        counts = masking.cosine_pred_counts(num_inference_steps, ni)
+        counts = counts[counts > 0]
+        S = len(counts)
+        starts, pad_p = masking.pred_boundaries(counts)
+
+        @jax.jit
+        def prologue(params, c):
+            bos = model.apply({"params": params}, nb, method=model.bos_frame)
+            cond, vs = model.apply({"params": params}, bos, c, 1,
+                                   method=model.encode_video,
+                                   mutable=["act_stats"])
+            return cond, vs["act_stats"]
+
+        @jax.jit
+        def ar_step(params, canvas, mask, cond, order, i_start, i_count,
+                    scale, key):
+            k_noise, k_diff = jax.random.split(key)
+            tokens = model.apply({"params": params}, canvas,
+                                 method=model.tokens_from_patches)
+            tokens_e = jnp.tile(tokens, (n_passes, 1, 1))
+            mask_e = jnp.tile(mask, (n_passes, 1, 1))
+            z, vs_enc = model.apply({"params": params}, tokens_e, mask_e,
+                                    cond, method=model.encode_image_step,
+                                    mutable=["act_stats"])
+            ids, valid = masking.pred_slice(order, i_start, i_count, pad_p)
+            ids_e = jnp.tile(ids, (n_passes, 1))
+            z_sel = jnp.take_along_axis(z, ids_e[..., None], axis=1)
+            x_t = jax.random.normal(k_noise, (batch, pad_p, pd), jnp.float32)
+
+            def dstats_shape():
+                return model.apply(
+                    {"params": params}, guidance.expand(x_t),
+                    jnp.full((nb,), ts[0]), z_sel,
+                    method=model.denoise_step, mutable=["act_stats"]
+                )[1]["act_stats"]
+
+            stats0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
+                                  jax.eval_shape(dstats_shape))
+
+            def diff_body(carry, j):
+                x_t, key, stats = carry
+                key, kd = jax.random.split(key)
+                t = ts[j]
+                pred, vs = model.apply(
+                    {"params": params}, guidance.expand(x_t),
+                    jnp.full((nb,), t), z_sel,
+                    method=model.denoise_step, mutable=["act_stats"])
+                stats = jax.tree.map(jnp.maximum, stats, vs["act_stats"])
+                pred = guidance.combine(pred.astype(jnp.float32), scale, t)
+                if is_flow:
+                    x_t = scheduler.step(pred, j, x_t, sched)
+                else:
+                    x_t = scheduler.step(pred, t.astype(jnp.int32), x_t,
+                                         key=kd, schedule=sched)
+                return (x_t, key, stats), None
+
+            (x_t, _, dstats), _ = jax.lax.scan(
+                diff_body, (x_t, k_diff, stats0), jnp.arange(D))
+            pred_mask = masking.scatter_mask(ids, valid, ni)
+            onehot = jax.nn.one_hot(ids, ni, dtype=jnp.float32)
+            onehot = onehot * valid[..., None]
+            scattered = jnp.einsum("bpn,bpd->bnd", onehot, x_t)
+            canvas = canvas * (1.0 - pred_mask) + scattered
+            return (canvas, mask * (1.0 - pred_mask),
+                    vs_enc["act_stats"], dstats)
+
+        cond, stats = prologue(self.params, c)
+        key, k_order = jax.random.split(key)
+        order = masking.random_pred_order(k_order, batch, ni)
+        canvas = jnp.zeros((batch, ni, pd), jnp.float32)
+        mask = jnp.ones((batch, ni, 1), jnp.float32)
+        for i in range(S):
+            key, k_step = jax.random.split(key)
+            scale = guidance.decayed_scale((i + 1.0) / S)
+            canvas, mask, senc, sdiff = ar_step(
+                self.params, canvas, mask, cond,
+                order, jnp.int32(starts[i]), jnp.int32(counts[i]),
+                jnp.asarray(scale, jnp.float32), k_step)
+            stats = max_merge_stats(stats, max_merge_stats(senc, sdiff))
+        self.act_scales = jax.tree.map(
+            lambda a: np.asarray(a, np.float32), stats)
+        # amax sites get clipping headroom; merge_act_scales exempts the
+        # a_smax logit offsets from the multiplicative margin
+        self._act_margin = margin
+        self._samplers.clear()  # rebuilt with static scales merged
+        return self.act_scales
+
     def _get_sampler(self, **kw):
         key = tuple(sorted((k, str(v)) for k, v in kw.items()))
-        key += (("bucket_phases", self.enable_bucket_phases),)
+        key += (("bucket_phases", self.enable_bucket_phases),
+                ("static_acts", self.act_scales is not None))
         if key not in self._samplers:
             self._samplers[key] = self._make_sampler(**kw)
         return self._samplers[key]

@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from jax.experimental.pallas import tpu as pltpu
+
 from nova_pointcloud_tpu.ops.attention import sdpa
 
 
@@ -114,3 +116,56 @@ def test_grad_fully_masked_rows_finite(qkv):
     bias = jnp.full((2, 1, 1, 160), -jnp.inf)
     for g in grad_flash(q, k, v, bias):
         assert np.isfinite(np.asarray(g)).all()
+
+
+def test_flash_attention_static_matches_sdpa():
+    """Serving static-max kernel == SDPA (calibrated offset, ones-column
+    denominator), with and without a key bias."""
+    from nova_pointcloud_tpu.ops.attention import sdpa
+    from nova_pointcloud_tpu.ops.pallas.flash_attention import (
+        flash_attention_static)
+
+    B, H, L, D = 2, 4, 96, 32
+    key = jax.random.PRNGKey(40)
+    ks = jax.random.split(key, 4)
+    q = jax.random.normal(ks[0], (B, H, L, D), jnp.float32) * 0.5
+    k = jax.random.normal(ks[1], (B, H, L, D), jnp.float32) * 0.5
+    v = jax.random.normal(ks[2], (B, H, L, D), jnp.float32)
+    smax = jnp.max(jnp.einsum("bhqd,bhkd->bhqk", q * D ** -0.5, k))
+
+    ref = sdpa(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention_static(q, k, v, smax, blk_q=48)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)
+
+    # key bias (visibility): mask half the keys of sample 0
+    bias = jnp.zeros((B, 1, 1, L))
+    bias = bias.at[0, :, :, L // 2:].set(-1e30)
+    ref_b = sdpa(q, k, v, bias)
+    with pltpu.force_tpu_interpret_mode():
+        out_b = flash_attention_static(q, k, v, smax, bias, blk_q=48)
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(ref_b),
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_flash_attention_static_outlier_clip():
+    """Scores beyond the calibrated max saturate (clip at +20) instead of
+    overflowing: output stays finite and close to the true softmax."""
+    from nova_pointcloud_tpu.ops.attention import sdpa
+    from nova_pointcloud_tpu.ops.pallas.flash_attention import (
+        flash_attention_static)
+
+    B, H, L, D = 1, 2, 64, 32
+    key = jax.random.PRNGKey(41)
+    q = jax.random.normal(key, (B, H, L, D), jnp.float32)
+    k = q * 3.0  # self-aligned: strong positive diagonal logits
+    v = jax.random.normal(jax.random.PRNGKey(42), (B, H, L, D), jnp.float32)
+    true_max = jnp.max(jnp.einsum("bhqd,bhkd->bhqk", q * D ** -0.5, k))
+    smax = true_max - 10.0  # calibration UNDERSHOOT by 10 logits
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention_static(q, k, v, smax, blk_q=64)
+    assert np.isfinite(np.asarray(out)).all()
+    ref = sdpa(q, k, v)
+    err = np.abs(np.asarray(out) - np.asarray(ref)).mean()
+    assert err < 5e-2, err

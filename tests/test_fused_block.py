@@ -279,7 +279,8 @@ def test_vit_block_calibration_and_static_serving(monkeypatch):
     params = blk.init(key, x)["params"]
     (_, _), vs = blk.apply({"params": params}, x, mutable=["act_stats"])
     stats = vs["act_stats"]
-    assert set(stats) == {"a_x", "a_gelu"}
+    assert set(stats) == {"a_x", "a_gelu", "attn"}
+    assert set(stats["attn"]) == {"a_smax"}
     qp = quantize_serving_params(params)
     qp_static = merge_act_scales(qp, stats, margin=1.05)
 
@@ -439,3 +440,45 @@ def test_diffusion_mlp_quantized_serving_matches_xla(monkeypatch):
     err = np.abs(np.asarray(out) - np.asarray(ref))
     scale = np.abs(np.asarray(ref)).mean() + 1e-6
     assert err.mean() / scale < 5e-2, (err.mean(), scale)
+
+
+def test_nova_encode_step_static_serving_close_to_dynamic(monkeypatch):
+    """encode_image_step with calibrated static scales (MLP sites + static
+    softmax offset) tracks the dynamic int8 path when calibration covers the
+    input distribution — the guard for the t2i/t2v static serving default."""
+    from nova_pointcloud_tpu.models.nova import NOVATransformer
+    from nova_pointcloud_tpu.ops.quantization import (merge_act_scales,
+                                                      quantize_serving_params)
+    from nova_pointcloud_tpu.pipelines.builder import init_transformer
+    from nova_pointcloud_tpu.schedulers import FlowMatchEulerScheduler
+
+    m = NOVATransformer(
+        arch=("vit_d2w64", "vit_d2w64", "mlp_d2w64"), image_dim=4,
+        image_base_size=(8, 8), video_base_size=(1, 2, 2), patch_size=2,
+        text_token_dim=32, text_token_len=8,
+        noise_scheduler=FlowMatchEulerScheduler(), quantize=True)
+    p = init_transformer(m, seed=0, batch=1)
+    ni, pd = m.num_image_tokens, m.patch_dim
+    nb = 4
+    canvas = 0.3 * jax.random.normal(jax.random.PRNGKey(3), (nb, ni, pd))
+    mask = (jax.random.uniform(jax.random.PRNGKey(4), (nb, ni, 1)) > 0.5
+            ).astype(jnp.float32)
+    cond = 0.3 * jax.random.normal(jax.random.PRNGKey(5), (nb, 8, 64))
+
+    def enc(variables, mutable=False):
+        tokens = m.apply(variables, canvas, method=m.tokens_from_patches)
+        kw = dict(mutable=["act_stats"]) if mutable else {}
+        return m.apply(variables, tokens, mask, cond,
+                       method=m.encode_image_step, **kw)
+
+    _, vs = enc({"params": p}, mutable=True)
+    qp = quantize_serving_params(p)
+    qps = merge_act_scales(qp, vs["act_stats"], margin=1.05)
+
+    import nova_pointcloud_tpu.models.vit as vit_mod
+    monkeypatch.setattr(vit_mod.jax, "default_backend", lambda: "tpu")
+    with pltpu.force_tpu_interpret_mode():
+        z_d = np.asarray(enc({"params": p, "qparams": qp}), np.float32)
+        z_s = np.asarray(enc({"params": p, "qparams": qps}), np.float32)
+    rel = np.abs(z_s - z_d).mean() / np.abs(z_d).mean()
+    assert rel < 5e-2, rel

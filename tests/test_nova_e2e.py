@@ -196,3 +196,29 @@ def test_bucket_phased_sampler_matches_full_masking():
     assert phased.shape == full.shape
     np.testing.assert_allclose(np.asarray(phased), np.asarray(full),
                                atol=1e-3, rtol=1e-3)
+
+
+def test_nova_pipeline_calibrate_cpu_smoke():
+    """NOVAPipeline.calibrate runs the masked-AR trajectory with stats
+    recording: per-layer amax + attention-logit trees come back, and the
+    sampler keeps working afterwards (static path itself is TPU-only)."""
+    model = NOVATransformer(noise_scheduler=FlowMatchEulerScheduler(),
+                            quantize=True, **TINY)
+    h, w = model.latent_hw
+    rngs = {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1),
+            "time": jax.random.PRNGKey(2), "noise": jax.random.PRNGKey(3),
+            "dropout": jax.random.PRNGKey(4)}
+    params = jax.jit(model.init)(
+        rngs, jnp.zeros((2, 1, h, w, 4)), jnp.zeros((2, 8, 32)))["params"]
+    pipe = NOVAPipeline(model, params, FlowMatchEulerScheduler(),
+                        text_encoder=DummyTextEncoder(32, 8))
+    stats = pipe.calibrate(["a chair"], num_inference_steps=4,
+                           num_diffusion_steps=2)
+    flat = jax.tree_util.tree_flatten_with_path(stats)[0]
+    names = {path[-1].key for path, _ in flat}
+    # ViT MLP sites + attention logits + diffusion-head sites all recorded
+    assert {"a_x", "a_gelu", "a_smax"} <= names, names
+    assert {"a_z", "a_h", "a_silu"} <= names, names
+    out = pipe(["a chair"], num_inference_steps=4, num_diffusion_steps=2,
+               key=jax.random.PRNGKey(6)).latents
+    assert np.isfinite(np.asarray(out)).all()
