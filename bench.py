@@ -441,6 +441,15 @@ def bench_t2v(args):
     print(f"# t2v d48w1024-osp480 params={n_params/1e6:.1f}M batch={batch} "
           f"frames={frames} ar={args.ar_steps} diff={args.steps} "
           f"e2e={args.e2e}", file=sys.stderr)
+    if args.static_acts and args.quantize and on_tpu:
+        # T=1 trajectory calibration: covers the image encoder + diffusion
+        # head exactly; video-encoder MLP ranges come from the frame-0
+        # prologue (later-frame ranges ride the clip margin). The per-frame
+        # KV-cached attention keeps the dynamic path (no a_smax use there).
+        t0 = time.perf_counter()
+        pipe.calibrate(prompts, num_inference_steps=16,
+                       num_diffusion_steps=args.steps)
+        print(f"# calibrate={time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     checksum = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
 
@@ -490,6 +499,7 @@ def bench_t2v(args):
         "serving_dtype": ("w8a8-int8 fused pallas ViT MLP"
                          if args.quantize and on_tpu else "bf16"),
         "value": round(batch / p50, 4), "unit": "videos/sec/chip",
+        "static_acts": bool(args.static_acts and args.quantize and on_tpu),
         "vs_baseline": round(vps / T2V_H100_EST_VIDEOS_PER_SEC, 3),
         "baseline_note": "H100 est. for the reference design (measured "
                          "1951.9 TFLOP/video, torch FlopCounterMode at "
