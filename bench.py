@@ -39,7 +39,10 @@ Prints ONE JSON line.
 
 import argparse
 import json
+import os
+import subprocess
 import sys
+import tempfile
 import time
 
 import jax
@@ -64,6 +67,79 @@ T2I_REF_TFLOP_PER_IMAGE = 139.13
 T2I_H100_EST_IMAGES_PER_SEC = 4.27
 T2V_REF_TFLOP_PER_VIDEO = 1951.9
 T2V_H100_EST_VIDEOS_PER_SEC = 0.304  # 3.29 s/video
+
+
+def _last_json_line(text):
+    for line in reversed(text.splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                return None
+    return None
+
+
+def _resilient_outer() -> int:
+    """Outage-resilient driver entry (VERDICT r3 next #1).
+
+    The axon TPU tunnel has multi-hour outages and its remote compiler
+    occasionally stalls forever on a fresh program (CLAUDE.md). A driver
+    capture landing in either previously turned into rc=1 and erased the
+    round's perf evidence (round 3). Instead: health-poll the tunnel in a
+    subprocess, run the actual bench as a bounded child, and retry on
+    failure or stall until a global deadline. The persistent XLA compile
+    cache makes retries cheap — a killed attempt's compiled programs are
+    reused by the next one.
+
+    Env knobs: NOVA_BENCH_DEADLINE_S (total budget, default 7200),
+    NOVA_BENCH_ATTEMPT_S (per-attempt timeout, default 2700),
+    NOVA_TPU_POLL_S (health poll cadence, default 120).
+    """
+    from nova_pointcloud_tpu.utils.platform import wait_for_tpu
+
+    deadline = time.monotonic() + float(
+        os.environ.get("NOVA_BENCH_DEADLINE_S", "7200"))
+    per_attempt = float(os.environ.get("NOVA_BENCH_ATTEMPT_S", "2700"))
+    poll_s = float(os.environ.get("NOVA_TPU_POLL_S", "120"))
+    env = dict(os.environ, NOVA_BENCH_INNER="1")
+    attempt, last_rc, last_out = 0, 1, ""
+    while time.monotonic() < deadline - 30:
+        attempt += 1
+        # Reserve room for one full attempt: poll only up to
+        # deadline - per_attempt, then try anyway (the probe could be
+        # wrong, and a doomed attempt still reports a real traceback).
+        up = wait_for_tpu(
+            max_wait_s=max(0.0, deadline - time.monotonic() - per_attempt
+                           - 30), poll_s=poll_s,
+            probe_timeout_s=float(
+                os.environ.get("NOVA_TPU_PROBE_TIMEOUT_S", "150")),
+            log=lambda m: print(f"# wait_for_tpu: {m}", file=sys.stderr))
+        print(f"# attempt {attempt}: tpu_healthy={up}", file=sys.stderr)
+        budget = min(per_attempt, deadline - time.monotonic() - 10)
+        if budget <= 30:
+            break
+        with tempfile.TemporaryFile("w+") as f:
+            try:
+                rc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)]
+                    + sys.argv[1:], stdout=f, env=env,
+                    timeout=budget).returncode
+            except subprocess.TimeoutExpired:
+                print(f"# attempt {attempt}: killed after {budget:.0f}s "
+                      "(remote-compiler stall profile); retrying",
+                      file=sys.stderr)
+                continue
+            f.seek(0)
+            out = f.read()
+        last_rc, last_out = rc, out
+        if rc == 0 and _last_json_line(out) is not None:
+            sys.stdout.write(out)
+            return 0
+        print(f"# attempt {attempt}: rc={rc}, json={_last_json_line(out) is not None}; "
+              "retrying", file=sys.stderr)
+    sys.stdout.write(last_out)
+    return last_rc or 1
 
 
 def main():
@@ -109,6 +185,11 @@ def main():
                          "pipeline's __call__ scope, pipeline_nova.py:"
                          "140-144); reports the decode share of latency")
     args = ap.parse_args()
+    if not args.dry_run and not os.environ.get("NOVA_BENCH_INNER"):
+        # Real-TPU runs go through the outage-resilient wrapper; the child
+        # re-enters main() with NOVA_BENCH_INNER=1. --dry-run (CPU smoke)
+        # stays direct so CI never waits on the tunnel.
+        sys.exit(_resilient_outer())
     if args.dry_run:
         # CI smoke must not depend on the TPU tunnel. Must happen BEFORE
         # enable_compilation_cache: that initializes the backend (it asks
