@@ -155,15 +155,19 @@ def main():
     ap.add_argument("--ar-steps", type=int, default=64)
     ap.add_argument("--points", type=int, default=2048)
     ap.add_argument("--repeats", type=int, default=5)
-    ap.add_argument("--guidance-trunc", type=float, default=600.0,
-                    help="t2pc: disable CFG below this timestep — the "
+    ap.add_argument("--guidance-trunc", type=float, default=None,
+                    help="disable CFG below this timestep — the "
                          "reference's maybe_disable chops to the cond chunk "
                          "(guidance_scaler.py:59-65), so truncated steps run "
                          "at half batch. Default 600: measured CD-neutral on "
                          "the trained flagship (results/pc_flagship_quality_"
                          "r3_trunc600.json); 0 disables. The JSON reports "
                          "vs_patched_h100_same_recipe alongside, crediting a "
-                         "hypothetical reference with the same truncation")
+                         "hypothetical reference with the same truncation. "
+                         "Default: 600 for t2pc (CD-validated), 0 for "
+                         "t2i/t2v (no on-host quality metric to validate a "
+                         "recipe change; pass explicitly to measure the "
+                         "half-batch split, tests/test_guidance_trunc_nova)")
     ap.add_argument("--quantize", dest="quantize", action="store_true",
                     default=True,
                     help="int8 fused-kernel serving path (default; the "
@@ -198,6 +202,8 @@ def main():
             jax.config.update("jax_platforms", "cpu")
         except Exception:
             pass
+    if args.guidance_trunc is None:
+        args.guidance_trunc = 600.0 if args.mode == "t2pc" else 0.0
     from nova_pointcloud_tpu.utils.platform import enable_compilation_cache
 
     enable_compilation_cache()
@@ -397,6 +403,7 @@ def bench_t2i(args):
     def run(key, output_type="latent"):
         out = pipe(prompts, num_inference_steps=args.ar_steps,
                    num_diffusion_steps=args.steps, guidance_scale=5.0,
+                   guidance_trunc=args.guidance_trunc,
                    key=key, output_type=output_type)
         if output_type == "latent":
             return np.asarray(out.latents)  # D2H forces completion
@@ -453,6 +460,7 @@ def bench_t2i(args):
         "mfu_vs_v5e_int8_peak": round(achieved / 394.0, 3),
         "mfu_vs_v5e_bf16_peak": round(achieved / 197.0, 3),
         "p50_latency_ms_per_sample": round(p50 / batch * 1000, 1),
+        "guidance_trunc": args.guidance_trunc,
         "batch": batch, "ar_steps": args.ar_steps, "diffusion_steps": args.steps,
         "params_m": round(n_params / 1e6, 1), "backend": jax.default_backend(),
     }))
@@ -537,6 +545,7 @@ def bench_t2v(args):
     def run(key, output_type="latent"):
         out = pipe(prompts, num_inference_steps=args.ar_steps,
                    num_diffusion_steps=args.steps, guidance_scale=5.0,
+                   guidance_trunc=args.guidance_trunc,
                    max_latent_length=frames, flow_shift=5.0,
                    key=key, output_type=output_type)
         if output_type == "latent":
@@ -592,6 +601,7 @@ def bench_t2v(args):
         "mfu_vs_v5e_bf16_peak": round(achieved / 197.0, 3),
         "p50_latency_s_per_video": round(p50 / batch, 2),
         "p50_latency_ms_per_frame": round(p50 / batch / frames * 1000, 1),
+        "guidance_trunc": args.guidance_trunc,
         "compile_s": round(compile_s, 1),
         "batch": batch, "frames": frames, "ar_steps": args.ar_steps,
         "diffusion_steps": args.steps,
