@@ -157,12 +157,28 @@ class DiffusionMLP(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, timestep: jax.Array, z: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, timestep: jax.Array, z: jax.Array,
+                 stg_rows: Optional[int] = None) -> jax.Array:
+        """``stg_rows``: static count of trailing batch rows forming the
+        spatiotemporal-guidance perturbed pass — those rows BYPASS the middle
+        block entirely, the semantics of the reference's stg_skip
+        (`diffusion_transformer.py:101-110`: the flagged block saves the 3rd
+        chunk before and re-concatenates it after). The reference only wires
+        stg_skip in its unused DiffusionTransformer, leaving its shipped STG
+        pass a no-op; fixed here per policy (SURVEY §7 / VERDICT r3 weak #4).
+        """
         h = nn.Dense(self.embed_dim, dtype=self.dtype, name="patch_proj")(x)
         zc = TimeCondEmbed(self.cond_dim, self.embed_dim, dtype=self.dtype,
                            name="time_cond_embed")(timestep, z)
         for i in range(self.depth):
-            h = DiffusionBlock(self.embed_dim, quantize=self.quantize,
-                               dtype=self.dtype, name=f"blocks_{i}")(h, zc)
+            blk = DiffusionBlock(self.embed_dim, quantize=self.quantize,
+                                 dtype=self.dtype, name=f"blocks_{i}")
+            if stg_rows and i == self.depth // 2:
+                # perturbed rows skip this block (and skip its compute)
+                h = jnp.concatenate(
+                    [blk(h[:-stg_rows], zc[:-stg_rows]), h[-stg_rows:]],
+                    axis=0)
+            else:
+                h = blk(h, zc)
         h, _ = AdaLayerNormZero(self.embed_dim, num_stats=2, name="norm")(h, zc)
         return nn.Dense(self.out_dim, dtype=self.dtype, name="head")(h)

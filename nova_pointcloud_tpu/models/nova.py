@@ -282,12 +282,14 @@ class NOVATransformer(nn.Module):
 
     # -- diffusion head -------------------------------------------------------
     def denoise_step(self, x_t: jax.Array, timestep: jax.Array,
-                     z: jax.Array) -> jax.Array:
+                     z: jax.Array, stg_rows: Optional[int] = None) -> jax.Array:
         """One model eval of the per-token diffusion head.
 
         x_t: (B, P, patch_dim); timestep (B,) or (B, P); z (B, P, D).
+        ``stg_rows``: trailing rows forming the STG perturbed pass (they skip
+        the middle decoder block; see DiffusionMLP).
         """
-        return self.image_decoder(x_t, timestep, z)
+        return self.image_decoder(x_t, timestep, z, stg_rows=stg_rows)
 
     # -- KV-cached frame decode ----------------------------------------------
     def encode_frame(self, tokens: jax.Array, c_text: Optional[jax.Array],

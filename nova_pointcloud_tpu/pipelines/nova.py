@@ -217,12 +217,21 @@ class NOVAPipeline:
                     z_sel = jnp.take_along_axis(z, ids_e[..., None], axis=1)
                     x_t = jax.random.normal(k_noise, (batch, pad_p, pd), jnp.float32)
 
+                    # STG: the 3rd pass is PERTURBED — it skips the middle
+                    # decoder block (DiffusionMLP stg_rows), so combine's
+                    # (cond - perturb) term is nonzero. The reference ships
+                    # this as a silent no-op (stg_skip only exists in its
+                    # unused DiT); fixed per policy.
+                    stg_rows = (batch if guidance.spatiotemporal_guidance_scale
+                                else None)
+
                     def diff_body(carry, j):
                         x_t, key = carry
                         key, kd = jax.random.split(key)
                         t = ts[j]
                         pred = apply(model.denoise_step, guidance.expand(x_t),
-                                     jnp.full((batch * n_passes,), t), z_sel)
+                                     jnp.full((batch * n_passes,), t), z_sel,
+                                     stg_rows=stg_rows)
                         pred = guidance.combine(pred.astype(jnp.float32), scale, t)
                         x_t = sched_step(pred, j, t, x_t, kd)
                         return (x_t, key), None
