@@ -13,11 +13,14 @@ deterministically — the shim's randn_tensor returns zeros (zero-variance
 DDPM) and this repo's pipelines use deterministic=True; initial latents and
 prompt embeddings are injected as the same numpy arrays.
 
-The transformer is a parity stub implementing identical math in torch and
-flax: model-internal numerics are covered by the transplanted-weights tests
-(test_nova_torch_loading / test_vae_torch_loading / test_phi); composing a
-real torch reference model is impossible here for the pc fork (its per-point
-post-LN architecture is a documented intentional divergence, SURVEY.md §7).
+The transformer here is a parity stub implementing identical math in torch
+and flax: model-internal numerics are covered by the transplanted-weights
+tests (test_nova_torch_loading / test_vae_torch_loading / test_phi), and
+the FULL composed sampler against the reference's real
+NOVATransformer3DModel (generate_video with MaskEmbed order, MAE gather,
+KV caches, mixer) is covered by tests/test_full_sampler_parity.py. The
+stub remains only for the pc fork, whose per-point post-LN architecture is
+a documented intentional divergence (SURVEY.md §7).
 """
 
 import sys
