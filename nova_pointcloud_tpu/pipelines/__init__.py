@@ -6,6 +6,7 @@ every pipeline is importable from here.
 """
 
 from nova_pointcloud_tpu.pipelines.builder import build_pipeline  # noqa: F401
+from nova_pointcloud_tpu.pipelines.pretrained import from_pretrained  # noqa: F401
 from nova_pointcloud_tpu.pipelines.nova import NOVAPipeline, NOVAPipelineOutput  # noqa: F401
 from nova_pointcloud_tpu.pipelines.nova_c2i import NOVAC2IPipeline  # noqa: F401
 from nova_pointcloud_tpu.pipelines.pointcloud_ar import NOVAPointCloudARPipeline  # noqa: F401

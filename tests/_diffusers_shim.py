@@ -110,6 +110,11 @@ def install(deterministic_randn: bool = False):
 
     modeling_outputs.BaseOutput = BaseOutput
 
+    class AutoencoderKLOutput(BaseOutput):
+        latent_dist: object
+
+    modeling_outputs.AutoencoderKLOutput = AutoencoderKLOutput
+
     # -- utils ---------------------------------------------------------------
     utils_mod = types.ModuleType("diffusers.utils")
     utils_mod.BaseOutput = BaseOutput
