@@ -183,6 +183,12 @@ def main():
                          "static.json)")
     ap.add_argument("--no-static-acts", dest="static_acts",
                     action="store_false", help="per-row dynamic quant")
+    ap.add_argument("--attn-core", choices=("f32", "bf16", "int8"),
+                    default="bf16",
+                    help="t2pc fused-kernel attention-core precision "
+                         "(ops/pallas/fused_block._attn_core_head): bf16 "
+                         "default (2x MXU rate vs round-3 f32), int8 for "
+                         "the 4x-rate A/B")
     ap.add_argument("--e2e", action="store_true",
                     help="t2i/t2v: full serving envelope incl. on-chip VAE "
                          "decode + uint8 postprocess (the reference "
@@ -234,6 +240,7 @@ def main():
     model = NOVAPointCloudTransformer(
         arch=arch, point_cloud_size=points, patch_size=16 if not args.dry_run else 1,
         text_token_dim=256, dropout=0.0, quantize=args.quantize,
+        attn_core=args.attn_core,
         dtype=jnp.bfloat16 if on_tpu else None)
     x = jnp.zeros((batch, points, 3))
     t = jnp.zeros((batch,), jnp.int32)
@@ -326,6 +333,7 @@ def main():
         "mfu_vs_v5e_bf16_peak": round(achieved_tflops / 197.0, 3),
         "batch": batch, "diffusion_steps": steps, "points": points,
         "guidance_trunc": args.guidance_trunc,
+        "attn_core": args.attn_core,
         "static_acts": bool(args.static_acts and args.quantize),
         "params_m": round(n_params / 1e6, 1),
         "backend": jax.default_backend(),

@@ -124,6 +124,10 @@ class PreLNBlock(nn.Module):
     quantize: bool = False
     attn_impl: str = "auto"
     dtype: Any = None
+    # precision of the fused serving kernel's attention-core matmuls:
+    # "bf16" (default, 2x MXU rate vs round-3's f32; the non-fused paths
+    # already run bf16 attention), "int8" (4x, per-row q/k/p quant), "f32"
+    attn_core: str = "bf16"
 
     def setup(self):
         from nova_pointcloud_tpu.ops.attention import make_flax_attention_fn
@@ -188,7 +192,10 @@ class PreLNBlock(nn.Module):
                                          a_in=self.get_variable(
                                              "qparams", "a_ln1", None),
                                          a_av=self.get_variable(
-                                             "qparams", "a_av", None))
+                                             "qparams", "a_av", None),
+                                         core=self.attn_core,
+                                         a_smax=self.get_variable(
+                                             "qparams", "a_smax", None))
         # long sequences (e.g. per-point tokens): the one-kernel sub-block
         # would overflow VMEM; use the split serving path (LN+QKV kernel,
         # XLA attention core with bf16 softmax, out-proj+residual kernel)
@@ -240,8 +247,12 @@ class PreLNBlock(nn.Module):
         hd = d // heads
         q, k, v = [a.reshape(b, t, heads, hd)
                    for a in jnp.split(qkv, 3, axis=-1)]
-        probs = jax.nn.softmax(
-            jnp.einsum("bqhd,bkhd->bhqk", q * (hd ** -0.5), k), axis=-1)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q * (hd ** -0.5), k)
+        # max attention logit -> static softmax offset (fused_attention_block
+        # a_smax; merge_act_scales exempts it from the amax margin)
+        self.sow("act_stats", "a_smax", jnp.max(logits).astype(jnp.float32),
+                 reduce_fn=jnp.maximum, init_fn=lambda: jnp.float32(-1e30))
+        probs = jax.nn.softmax(logits, axis=-1)
         av = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, t, d)
         record("a_av", av)
         out_k = ap["out"]["kernel"].reshape(d, d)
@@ -318,6 +329,7 @@ class _ScanBlockBody(nn.Module):
     quantize: bool = False
     attn_impl: str = "auto"
     dtype: Any = None
+    attn_core: str = "bf16"
 
     @nn.compact
     def __call__(self, carry, _):
@@ -325,7 +337,7 @@ class _ScanBlockBody(nn.Module):
             else PreLNBlock
         out = cls(self.dim, self.num_heads, dropout=self.dropout,
                   quantize=self.quantize, attn_impl=self.attn_impl,
-                  dtype=self.dtype,
+                  dtype=self.dtype, attn_core=self.attn_core,
                   name="block")(carry, self.deterministic)
         return out, None
 
@@ -347,6 +359,7 @@ class BlockStack(nn.Module):
     quantize: bool = False
     attn_impl: str = "auto"
     dtype: Any = None
+    attn_core: str = "bf16"  # fused-kernel attention-core precision
     pp_runner: Any = None  # parallel/stack_runner.StackRunner (training PP)
 
     @nn.compact
@@ -373,7 +386,8 @@ class BlockStack(nn.Module):
             length=self.depth,
             metadata_params={nn.meta.PARTITION_NAME: None},
         )(self.dim, self.num_heads, self.dropout, deterministic, self.remat,
-          self.quantize, self.attn_impl, self.dtype, name="layers")
+          self.quantize, self.attn_impl, self.dtype, self.attn_core,
+          name="layers")
         h, _ = body(h, None)
         return h
 
@@ -391,6 +405,7 @@ class NOVAPointCloudTransformer(nn.Module):
     remat: bool = False
     quantize: bool = False  # int8 MLP serving path (fused Pallas on TPU)
     attn_impl: str = "auto"  # ops/attention dispatcher policy
+    attn_core: str = "bf16"  # fused-kernel attention-core precision
     dtype: Any = None
     pp_runner: Any = None  # pipeline-parallel stack runner (training)
 
@@ -437,7 +452,7 @@ class NOVAPointCloudTransformer(nn.Module):
         h = BlockStack(depth, dim, heads, dropout=self.dropout,
                        remat=self.remat, quantize=self.quantize,
                        attn_impl=self.attn_impl, dtype=self.dtype,
-                       pp_runner=self.pp_runner,
+                       attn_core=self.attn_core, pp_runner=self.pp_runner,
                        name="blocks")(h, deterministic)
 
         # Final LayerNorm + zero-init head. The reference's post-LN

@@ -299,13 +299,64 @@ def int8_matmul_residual(x: jax.Array, residual: jax.Array, wq: jax.Array,
     return out.reshape(residual.shape)
 
 
+def _attn_core_head(qh, kh, vh, scale, core, smax=None):
+    """One head's softmax(q k^T) v with a selectable matmul precision.
+
+    core="f32" is the round-2 behavior. "bf16" runs both core matmuls at
+    the MXU's 2x bf16 rate (logit rounding ~0.4% of row amax). "int8" runs
+    them at the 4x int8 rate: q (scale folded in) and k quantize per row so
+    the logit scale factors as sq_i * sk_j; for p@v the value-row scales
+    sv_j fold INTO p before quantizing it (sum_j p_ij sv_j (v_jd / sv_j)
+    telescopes), so one per-row quant of p' = p * sv recovers exact algebra
+    up to int8 rounding. ``smax``: calibrated max-logit offset — skips the
+    per-row max reduce of a safe softmax; logits above it clip at +20
+    exactly like flash_attention_static.
+    """
+    if core == "int8":
+        q8, sq = _quant_rows(qh * scale)
+        k8, sk = _quant_rows(kh)
+        s = jax.lax.dot_general(q8, k8, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        s = s.astype(jnp.float32) * sq * sk.reshape(1, -1)
+    elif core == "bf16":
+        s = jax.lax.dot_general(qh.astype(jnp.bfloat16),
+                                kh.astype(jnp.bfloat16),
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+    else:
+        s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+    if smax is None:
+        p = jax.nn.softmax(s, axis=-1)
+    else:
+        e = jnp.exp(jnp.minimum(s - smax, 20.0))
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+    if core == "int8":
+        v8, sv = _quant_rows(vh)
+        p8, sp = _quant_rows(p * sv.reshape(1, -1))
+        o = jax.lax.dot_general(p8, v8, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        return o.astype(jnp.float32) * sp
+    if core == "bf16":
+        return jax.lax.dot_general(p.astype(jnp.bfloat16),
+                                   vh.astype(jnp.bfloat16),
+                                   (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+    return jax.lax.dot_general(p, vh, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
 def _attn_block_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, sqkv_ref, bqkv_ref,
                        wo_ref, so_ref, bo_ref, *rest, num_heads,
-                       static_acts=False):
+                       static_acts=False, core="f32", static_smax=False):
+    refs = list(rest)
+    o_ref = refs.pop()
+    ain_ref = aav_ref = smax_ref = None
     if static_acts:
-        ain_ref, aav_ref, o_ref = rest
-    else:
-        (o_ref,) = rest
+        ain_ref, aav_ref = refs[0], refs[1]
+        refs = refs[2:]
+    if static_smax:
+        (smax_ref,) = refs
     sb, t, d = x_ref.shape  # sb samples per program
     hd = d // num_heads
     x = x_ref[...].astype(jnp.float32).reshape(sb * t, d)
@@ -318,6 +369,7 @@ def _attn_block_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, sqkv_ref, bqkv_ref,
                               preferred_element_type=jnp.int32)
     qkv = qkv.astype(jnp.float32) * sx * sqkv_ref[0] + bqkv_ref[0]  # (sb*T, 3D)
     scale = hd ** -0.5
+    smax = smax_ref[0, 0] if static_smax else None
     outs = []
     for b in range(sb):
         qkv_b = jax.lax.slice(qkv, (b * t, 0), ((b + 1) * t, 3 * d))
@@ -327,12 +379,7 @@ def _attn_block_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, sqkv_ref, bqkv_ref,
             kh = jax.lax.slice(qkv_b, (0, d + i * hd), (t, d + (i + 1) * hd))
             vh = jax.lax.slice(qkv_b, (0, 2 * d + i * hd),
                                (t, 2 * d + (i + 1) * hd))
-            s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32) * scale
-            p = jax.nn.softmax(s, axis=-1)
-            heads_out.append(jax.lax.dot_general(
-                p, vh, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32))
+            heads_out.append(_attn_core_head(qh, kh, vh, scale, core, smax))
         outs.append(jnp.concatenate(heads_out, axis=-1))
     av = jnp.concatenate(outs, axis=0)  # (sb*T, D)
     if static_acts:
@@ -345,12 +392,13 @@ def _attn_block_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, sqkv_ref, bqkv_ref,
     o_ref[...] = (x + o).reshape(sb, t, d).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads",))
+@functools.partial(jax.jit, static_argnames=("num_heads", "core"))
 def fused_attention_block(x: jax.Array, ln_scale: jax.Array,
                           ln_bias: jax.Array, wqkv_q: jax.Array,
                           wqkv_s: jax.Array, bqkv: jax.Array,
                           wo_q: jax.Array, wo_s: jax.Array, bo: jax.Array,
-                          num_heads: int, a_in=None, a_av=None) -> jax.Array:
+                          num_heads: int, a_in=None, a_av=None,
+                          core: str = "f32", a_smax=None) -> jax.Array:
     """The entire PreLN attention sub-block as ONE VMEM-resident kernel:
 
         y = x + W_o q8(softmax(q k^T / sqrt(hd)) v) + b_o,
@@ -372,11 +420,16 @@ def fused_attention_block(x: jax.Array, ln_scale: jax.Array,
 
     ``a_in`` / ``a_av``: optional calibrated per-tensor activation amax for
     the post-LN input and the attention-output quant sites (_quant_static).
+    ``core``: precision of the attention-core matmuls — "f32" (exact),
+    "bf16" (2x MXU rate), "int8" (4x; per-row q/k/p' quant, see
+    _attn_core_head). ``a_smax``: calibrated max-logit offset replacing the
+    safe-softmax row max (recorded by PreLNBlock._calibration_forward).
     """
     b, t, d = x.shape
     sb = 2 if (b % 2 == 0
                and attention_block_vmem_bytes(t, d, 2) <= 14 * 2**20) else 1
     static_acts = a_in is not None
+    static_smax = a_smax is not None
 
     def row2(a):
         return a.astype(jnp.float32).reshape(1, -1)
@@ -396,9 +449,13 @@ def fused_attention_block(x: jax.Array, ln_scale: jax.Array,
     if static_acts:
         in_specs += [const((1, 1)), const((1, 1))]
         operands += [row2(jnp.asarray(a_in)), row2(jnp.asarray(a_av))]
+    if static_smax:
+        in_specs += [const((1, 1))]
+        operands += [row2(jnp.asarray(a_smax))]
 
     kernel = functools.partial(_attn_block_kernel, num_heads=num_heads,
-                               static_acts=static_acts)
+                               static_acts=static_acts, core=core,
+                               static_smax=static_smax)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, t, d), x.dtype),

@@ -217,12 +217,14 @@ def test_preln_block_calibration_and_static_serving(monkeypatch):
 
     y_cal, vs = blk.apply({"params": params}, x, mutable=["act_stats"])
     stats = vs["act_stats"]
-    assert set(stats) == {"a_ln1", "a_av", "a_ln2", "a_mid"}
-    assert all(float(v) > 0 for v in stats.values())
+    sites = {"a_ln1", "a_av", "a_ln2", "a_mid", "a_smax"}
+    assert set(stats) == sites
+    # amax sites are positive; a_smax is a LOGIT (any sign)
+    assert all(float(v) > 0 for k, v in stats.items() if k != "a_smax")
 
     qp = quantize_serving_params(params)
     qp_static = merge_act_scales(qp, stats, margin=1.05)
-    assert set(qp_static) - set(qp) == {"a_ln1", "a_av", "a_ln2", "a_mid"}
+    assert set(qp_static) - set(qp) == sites
 
     import nova_pointcloud_tpu.models.pointcloud as pc_mod
     monkeypatch.setattr(pc_mod.jax, "default_backend", lambda: "tpu")
@@ -258,8 +260,9 @@ def test_pipeline_calibrate_cpu_smoke():
     stats = pipe.calibrate(prompt_embeds=embeds, num_points=n,
                            num_diffusion_steps=3)
     leaves = stats["blocks"]["layers"]["block"]
-    assert set(leaves) == {"a_ln1", "a_av", "a_ln2", "a_mid"}
-    assert all(v.shape == (2,) and (v > 0).all() for v in leaves.values())
+    assert set(leaves) == {"a_ln1", "a_av", "a_ln2", "a_mid", "a_smax"}
+    assert all(v.shape == (2,) for v in leaves.values())
+    assert all((v > 0).all() for k, v in leaves.items() if k != "a_smax")
     out = pipe(prompt_embeds=embeds, num_points=n, num_diffusion_steps=2,
                guidance_scale=5.0)
     assert out.point_clouds.shape == (2, n, 3)
