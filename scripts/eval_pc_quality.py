@@ -46,6 +46,11 @@ def main():
                     help="zero-variance reverse DDPM (DDIM-style ancestral "
                          "mean): removes the per-step sampling noise floor "
                          "from the measured geometry")
+    ap.add_argument("--attn-core", choices=("f32", "bf16", "int8"),
+                    default="bf16",
+                    help="fused-kernel attention-core precision for the "
+                         "int8 rows (bench.py --attn-core A/B; CD guard "
+                         "for the round-4 core variants)")
     args = ap.parse_args()
 
     from nova_pointcloud_tpu.utils.platform import (
@@ -82,6 +87,7 @@ def main():
             arch=args.arch, point_cloud_size=args.num_points,
             patch_size=args.patch_size,
             text_token_dim=256, dropout=0.0, quantize=quantize,
+            attn_core=args.attn_core,
             dtype=jnp.bfloat16 if on_tpu else None)
         x = jnp.zeros((1, args.num_points, 3))
         params = jax.jit(model.init)(
@@ -110,6 +116,7 @@ def main():
 
     results = {"arch": args.arch, "num_points": args.num_points,
                "diffusion_steps": args.steps,
+               "attn_core": args.attn_core,
                "backend": jax.default_backend()}
 
     # noise baseline: what CD/EMD does pure noise score?
