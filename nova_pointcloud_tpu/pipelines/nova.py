@@ -290,6 +290,14 @@ class NOVAPipeline:
             tokens = apply(model.bos_frame, nb)[:, 0]
             bos_value = tokens[:1, :1]
             tokens = apply(model.frame_tokens, tokens, 0, T)
+            if guidance.image_guidance_scale and guidance.enabled:
+                # image-free middle pass = RAW bos, no time/space PE — the
+                # reference's expand(padding=bos) runs after PE, frame 0
+                # included (`transformer_3d.py:155-157`)
+                raw = jnp.broadcast_to(
+                    bos_value, (batch,) + tokens.shape[1:]).astype(tokens.dtype)
+                tokens = jnp.concatenate(
+                    [tokens[:batch], raw, tokens[2 * batch:]], axis=0)
             states0, caches = apply(model.encode_frame, tokens, c_text,
                                     caches, 0, 0)
             states_star = states0 if model.video_mixer_rank is not None else None
@@ -303,8 +311,13 @@ class NOVAPipeline:
                 frame = unpatchify(latent_prev, model.patch_size,
                                    model.image_base_size)
                 vtok = apply(model.embed_video_frame, frame)
-                tokens = guidance.expand(vtok, padding=bos_value)
-                tokens = apply(model.frame_tokens, tokens, t_idx, T)
+                # PE first, expand after: the reference's image-guidance
+                # pass-2 padding is the RAW bos token — its expand
+                # (`transformer_3d.py:157`) runs after time/space PE was
+                # added, so the padded pass carries no positional embedding.
+                # (Also cheaper: frame_tokens runs at 1x batch.)
+                tokens = apply(model.frame_tokens, vtok, t_idx, T)
+                tokens = guidance.expand(tokens, padding=bos_value)
                 states, caches = apply(model.encode_frame, tokens, None,
                                        caches, cache_index, t_idx)
                 cond = states

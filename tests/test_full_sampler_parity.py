@@ -132,7 +132,7 @@ class _InjectRNG:
                             jnp.zeros(shape, dtype))
 
 
-def _ref_generate(ref, c2b_raw, frames):
+def _ref_generate(ref, c2b_raw, frames, image_gs=0.0, prefill=None):
     """Drive the reference's generate_video verbatim (model-level API; the
     pipeline wrapper only assembles this dict, `pipeline_nova.py:127-139`)."""
     ni = 16
@@ -144,7 +144,9 @@ def _ref_generate(ref, c2b_raw, frames):
             "x": torch.zeros(B, 4, 8, 8), "c": c, "guidance_scale": GS,
             "num_preds": (mask_length[:-1] - mask_length[1:]).tolist(),
             "max_latent_length": frames, "num_diffusion_steps": D,
-            "generator": None, "tqdm1": False, "tqdm2": False, "latents": [],
+            "generator": None, "tqdm1": False, "tqdm2": False,
+            "image_guidance_scale": image_gs,
+            "latents": [] if prefill is None else [torch.as_tensor(prefill)],
         }
         ref.generate_video(inputs)
     return np.stack([lat.numpy() for lat in inputs["latents"]], axis=1)
@@ -183,3 +185,35 @@ def test_full_sampler_matches_reference(monkeypatch, frames, mixer):
     np.testing.assert_allclose(got, ref_lat, atol=1e-3, rtol=1e-3)
     # guard against the trivially-zero fixed point
     assert np.abs(ref_lat).max() > 1e-2
+
+
+def test_i2v_image_guidance_matches_reference(monkeypatch):
+    """Image-to-video: prefilled first frame + 3-pass image guidance. The
+    image-free middle pass pads frame tokens with the RAW bos token (no
+    time/space PE — the reference expands after PE, transformer_3d.py:157),
+    and frame 0 is consumed from latents instead of sampled."""
+    frames = 3
+    ref, ours, params = _build_pair(frames=frames, mixer=8)
+    ni = ours.num_image_tokens
+    rng = np.random.RandomState(6)
+    cond_raw = rng.randn(B, L, 32).astype(np.float32)
+    neg_raw = rng.randn(B, L, 32).astype(np.float32)
+    order = np.stack([rng.permutation(ni) for _ in range(B)])
+    first = (0.3 * rng.randn(B, 4, 8, 8)).astype(np.float32)
+
+    _InjectRNG(monkeypatch, order, ni)
+    ref_lat = _ref_generate(ref, np.concatenate([cond_raw, neg_raw]), frames,
+                            image_gs=1.0, prefill=first)
+
+    pipe = NOVAPipeline(ours, params, FlowMatchEulerScheduler(shift=1.0),
+                        text_encoder=_FixedTextEncoder(cond_raw, neg_raw))
+    out = pipe(["p"] * B, negative_prompt=[""] * B, num_inference_steps=S,
+               num_diffusion_steps=D, guidance_scale=GS,
+               image_guidance_scale=1.0, max_latent_length=frames,
+               latents=jnp.asarray(np.moveaxis(first, 1, -1)),
+               key=jax.random.PRNGKey(0), output_type="latent")
+    got = np.moveaxis(np.asarray(out.latents, np.float32), -1, 2)
+    assert ref_lat.shape == got.shape
+    np.testing.assert_allclose(got, ref_lat, atol=1e-3, rtol=1e-3)
+    # the prefilled frame must ride through untouched
+    np.testing.assert_allclose(got[:, 0], first, atol=1e-5)
