@@ -539,13 +539,13 @@ def bench_t2v(args):
           f"frames={frames} ar={args.ar_steps} diff={args.steps} "
           f"e2e={args.e2e}", file=sys.stderr)
     if args.static_acts and args.quantize and on_tpu:
-        # T=1 trajectory calibration: covers the image encoder + diffusion
-        # head exactly; video-encoder MLP ranges come from the frame-0
-        # prologue (later-frame ranges ride the clip margin). The per-frame
-        # KV-cached attention keeps the dynamic path (no a_smax use there).
+        # Covers the image encoder + diffusion head on a real trajectory
+        # AND the KV-cached video-encoder path (max_latent_length=2 runs
+        # frame 0 -> 1 through encode_frame with live caches). The cached
+        # attention core keeps the dynamic path (no a_smax use there).
         t0 = time.perf_counter()
         pipe.calibrate(prompts, num_inference_steps=16,
-                       num_diffusion_steps=args.steps)
+                       num_diffusion_steps=args.steps, max_latent_length=2)
         print(f"# calibrate={time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     checksum = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))

@@ -354,7 +354,8 @@ class NOVAPipeline:
                   num_diffusion_steps: int = 25,
                   guidance_scale: float = 5.0,
                   key: Optional[jax.Array] = None,
-                  margin: float = 1.05):
+                  margin: float = 1.05,
+                  max_latent_length: int = 1):
         """Record activation ranges + max attention logits over one real
         (shortened) AR sampling trajectory; fold them into every subsequent
         sampler as static int8 scales and static softmax offsets.
@@ -463,6 +464,44 @@ class NOVAPipeline:
                 order, jnp.int32(starts[i]), jnp.int32(counts[i]),
                 jnp.asarray(scale, jnp.float32), k_step)
             stats = max_merge_stats(stats, max_merge_stats(senc, sdiff))
+
+        if max_latent_length > 1:
+            # t2v: calibrate the KV-cached video-encoder path too (VERDICT
+            # r3 next #3c). Frame 0's ranges come from the non-cached
+            # prologue above; this runs frame 0 -> frame 1 through
+            # encode_frame with live caches so the later-frame MLP quant
+            # sites are recorded on a REAL sampled frame. (The cached
+            # attention core stays dynamic — the a_smax sow is cache-gated
+            # — and the 2-frame time table's range transfer to longer T
+            # rides the clip margin.)
+            from nova_pointcloud_tpu.models.embeddings import unpatchify
+            nv, text_len = model.num_video_tokens, c.shape[1]
+
+            @jax.jit
+            def video_cal(params, canvas, c):
+                caches = model.init_video_caches(nb, text_len, 2)
+                bos = model.apply({"params": params}, nb,
+                                  method=model.bos_frame)[:, 0]
+                tok0 = model.apply({"params": params}, bos, 0, 2,
+                                   method=model.frame_tokens)
+                (_, caches), vs0 = model.apply(
+                    {"params": params}, tok0, c, caches, 0, 0,
+                    method=model.encode_frame, mutable=["act_stats"])
+                frame = unpatchify(canvas, model.patch_size,
+                                   model.image_base_size)
+                vtok = model.apply({"params": params}, frame,
+                                   method=model.embed_video_frame)
+                tok1 = model.apply({"params": params}, vtok, 1, 2,
+                                   method=model.frame_tokens)
+                tok1 = jnp.tile(tok1, (n_passes, 1, 1))
+                (_, _), vs1 = model.apply(
+                    {"params": params}, tok1, None, caches,
+                    jnp.int32(text_len + nv), 1,
+                    method=model.encode_frame, mutable=["act_stats"])
+                return max_merge_stats(vs0["act_stats"], vs1["act_stats"])
+
+            stats = max_merge_stats(
+                stats, video_cal(self.params, canvas, c))
         self.act_scales = jax.tree.map(
             lambda a: np.asarray(a, np.float32), stats)
         # amax sites get clipping headroom; merge_act_scales exempts the
