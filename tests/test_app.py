@@ -55,6 +55,7 @@ def test_app_generates_t2pc():
     assert len(out["points"]) == 128
 
 
+@pytest.mark.full
 def test_app_generates_t2v():
     """t2v mode (VERDICT r2 missing #4): frames + motion-flow controls,
     animated GIF out (`app_nova_t2v.py:113-183` parity)."""

@@ -15,6 +15,7 @@ from jax.experimental import pallas as pl  # noqa: F401
 from jax.experimental.pallas import tpu as pltpu
 
 from nova_pointcloud_tpu.ops.quantization import quantize_weight
+import pytest
 
 
 def _operands(seed=7, B=2, T=64, D=256):
@@ -87,6 +88,7 @@ def test_int8_core_with_undershot_smax_stays_finite():
     assert rel < 5e-2, rel
 
 
+@pytest.mark.full
 def test_model_level_attn_core_variants_agree():
     """PreLNBlock serving output is insensitive to the core choice at the
     model level (CPU: exercises plumbing + calibration path, not Pallas)."""

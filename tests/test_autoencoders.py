@@ -85,6 +85,7 @@ class TestOpenSoraVAE:
             block_out_channels=(32, 32, 64, 64), latent_channels=4,
             layers_per_block=1, sample_min_t=17, latent_min_t=5)
 
+    @pytest.mark.full
     def test_video_roundtrip(self):
         vae = self._vae()
         x = jax.random.normal(jax.random.PRNGKey(0), (1, 5, 32, 32, 3))
@@ -119,6 +120,7 @@ class TestOpenSoraVAE:
                                    atol=1e-6)
         assert np.abs(np.asarray(y1[:, 4:]) - np.asarray(y2[:, 4:])).max() > 1e-4
 
+    @pytest.mark.full
     def test_image_passthrough(self):
         vae = self._vae()
         x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16, 3))
@@ -142,6 +144,7 @@ class TestLTXVAE:
             decoder_layers_per_block=(1, 1, 1, 1),
             latent_channels=8, patch_size=4)
 
+    @pytest.mark.full
     def test_roundtrip(self):
         vae = self._vae()
         # encoder strides: spatial 2, temporal 2, st 2, st 2 -> T/8, HW/(4*8)
@@ -166,6 +169,7 @@ class TestCogVideoXVAE:
         return AutoencoderKLCogVideoX(block_out_channels=(32, 32, 32, 64),
                                       layers_per_block=1, latent_channels=4)
 
+    @pytest.mark.full
     def test_roundtrip(self):
         vae = self._vae()
         x = jax.random.normal(jax.random.PRNGKey(0), (1, 5, 32, 32, 3))

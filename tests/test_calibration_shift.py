@@ -20,6 +20,7 @@ import numpy as np
 from nova_pointcloud_tpu.models.nova import NOVATransformer
 from nova_pointcloud_tpu.pipelines.nova import NOVAPipeline
 from nova_pointcloud_tpu.schedulers import FlowMatchEulerScheduler
+import pytest
 
 TINY = dict(
     arch=("vit_d2w64", "vit_d2w64", "mlp_d2w64"),
@@ -61,6 +62,7 @@ def _calibrate(pipe, embeds):
                           num_diffusion_steps=3, key=jax.random.PRNGKey(7))
 
 
+@pytest.mark.full
 def test_shifted_prompts_stay_inside_serving_envelope():
     """Calibrate on A; serve B (different content AND 2x embedding norm).
 
@@ -95,6 +97,7 @@ def test_shifted_prompts_stay_inside_serving_envelope():
     assert worst["amax"] <= AMAX_DRIFT, worst
 
 
+@pytest.mark.full
 def test_calibration_is_stable_across_seeds():
     """Same distribution, different draws: ranges agree within the margin —
     the envelope is a property of the weights, not of the sampled prompts."""

@@ -37,6 +37,7 @@ def test_graft_entry_forward():
     assert "entry forward:" in out.stdout
 
 
+@pytest.mark.full
 def test_graft_dryrun_multichip():
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"

@@ -118,6 +118,7 @@ def _synth_checkpoint(root):
     return ref
 
 
+@pytest.mark.full
 def test_from_pretrained_serves_end_to_end(tmp_path):
     """One call, zero manual steps: directory -> pipeline -> image."""
     root = str(tmp_path / "nova-tiny")

@@ -41,6 +41,7 @@ def make_pipe(scheduler):
 
 @pytest.mark.parametrize("scheduler_cls", [FlowMatchEulerScheduler,
                                            DDPMScheduler])
+@pytest.mark.full
 def test_trunc_split_matches_select(scheduler_cls):
     """Two-phase split == where-select fallback, same key, same latents.
 

@@ -97,6 +97,7 @@ def _ltx_state_dict(enc_dims, enc_depths, dec_dims, dec_depths, lat, patch=4):
     return sd
 
 
+@pytest.mark.full
 def test_full_ltx_structural_load():
     model = AutoencoderKLLTXVideo(
         block_out_channels=(8, 16, 16, 32, 32),
@@ -176,6 +177,7 @@ def _cog_state_dict(dims=(32, 32, 32, 64), layers=1, lat=4):
     return sd
 
 
+@pytest.mark.full
 def test_full_cogvideox_structural_load():
     model = AutoencoderKLCogVideoX(block_out_channels=(32, 32, 32, 64),
                                    layers_per_block=1, latent_channels=4)

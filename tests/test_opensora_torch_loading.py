@@ -153,6 +153,7 @@ def _tiny_osp_state_dict(dims=(32, 32, 64, 64), layers=1, lat=4):
     return sd
 
 
+@pytest.mark.full
 def test_full_opensora_structural_load():
     model = AutoencoderKLOpenSora(
         down_block_types=("DownEncoderBlock2D", "DownEncoderBlock2D",

@@ -7,10 +7,12 @@ normalization) fails here even if shapes and numerics stay valid.
 """
 
 import numpy as np
+import pytest
 
 CD_IMPROVEMENT = 0.75  # trained CD must be <= 75% of the noise baseline
 
 
+@pytest.mark.full
 def test_trained_tiny_model_beats_noise_on_cd():
     import jax
     import jax.numpy as jnp
@@ -105,6 +107,7 @@ def test_trained_tiny_model_beats_noise_on_cd():
         f"(delta {delta:.1%} > 10%)")
 
 
+@pytest.mark.full
 def test_trained_tiny_masked_ar_beats_noise_on_cd():
     """Same guard for the masked-AR path (leak regression would fail this:
     with the round-2 cluster-coords leak, this model trains to low loss but

@@ -13,6 +13,8 @@ from jax.sharding import PartitionSpec as P
 
 from nova_pointcloud_tpu.models.pointcloud import BlockStack, PreLNBlock
 from nova_pointcloud_tpu.parallel import create_mesh
+import pytest
+
 from nova_pointcloud_tpu.parallel.pipeline import (
     make_pipelined_apply, merge_microbatches, split_microbatches,
     stack_stage_params, unstack_stage_params)
@@ -70,6 +72,7 @@ def test_pipelined_uneven_micro_vs_stages():
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.full
 def test_pipelined_grads_match_sequential():
     stack, params, block_params, block_apply, x = _setup()
 
@@ -129,6 +132,7 @@ def test_pp_dp_train_step():
     assert all(np.isfinite(l) for l in losses)
 
 
+@pytest.mark.full
 def test_pipelined_remat_grads_match():
     """remat=True recomputes in backward; values and grads must be identical
     to the non-remat pipeline (flagship-depth training memory mode)."""
@@ -205,6 +209,7 @@ def test_pp_tp_composition():
         pp_g, ref_g)
 
 
+@pytest.mark.full
 def test_circular_pipeline_matches_sequential():
     """Interleaved (circular) schedule: V chunks per device, microbatches hop
     the ring V times. Must be numerically identical to the sequential stack,

@@ -16,6 +16,9 @@ from nova_pointcloud_tpu.models.pointcloud import NOVAPointCloudTransformer
 from nova_pointcloud_tpu.parallel import create_mesh, make_sharded_train_step
 from nova_pointcloud_tpu.parallel.stack_runner import make_stack_runner
 from nova_pointcloud_tpu.schedulers import DDPMScheduler, FlowMatchEulerScheduler
+import pytest
+
+pytestmark = pytest.mark.full
 
 BATCH = 8
 

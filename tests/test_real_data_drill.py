@@ -11,6 +11,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 SYNSETS = ("03001627", "02691156")  # chair, airplane
 
@@ -45,6 +46,7 @@ def test_shapenet_loader_reads_pointflow_tree(tmp_path):
     assert len(val) == 6
 
 
+@pytest.mark.full
 def test_train_and_eval_on_pointflow_tree(tmp_path):
     """scripts/train_pointcloud.py --data-root <tree> end to end: trains,
     fits stats.json from the tree, selects best-on-CD, and the saved

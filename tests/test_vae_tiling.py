@@ -5,8 +5,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from nova_pointcloud_tpu.models.autoencoders import AutoencoderKLOpenSora
+import pytest
 
 
+@pytest.mark.full
 def test_tiled_encode_matches_single_window_prefix():
     """With windows of 5 frames and overlap 1, the first window's latents in
     a tiled encode must equal the untiled encode of those frames (causal
