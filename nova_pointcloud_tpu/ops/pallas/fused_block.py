@@ -28,6 +28,7 @@ resident int8 weights leaves too little VMEM for input/output pipelining.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -424,10 +425,20 @@ def fused_attention_block(x: jax.Array, ln_scale: jax.Array,
     "bf16" (2x MXU rate), "int8" (4x; per-row q/k/p' quant, see
     _attn_core_head). ``a_smax``: calibrated max-logit offset replacing the
     safe-softmax row max (recorded by PreLNBlock._calibration_forward).
+
+    ``NOVA_ATTN_SB``: env override for samples-per-program (the grid block
+    over the batch). Auto picks 2 when the footprint fits the 14MB gate;
+    the override bypasses the gate for on-chip block-shape sweeps (values
+    that don't divide the batch fall back to auto). Output is bitwise
+    identical across sb — only the grid/pipelining changes. Read at trace
+    time: use a fresh process per setting (jit caches don't key on it).
     """
     b, t, d = x.shape
     sb = 2 if (b % 2 == 0
                and attention_block_vmem_bytes(t, d, 2) <= 14 * 2**20) else 1
+    sb_env = int(os.environ.get("NOVA_ATTN_SB", "0"))
+    if sb_env > 0 and b % sb_env == 0:
+        sb = sb_env
     static_acts = a_in is not None
     static_smax = a_smax is not None
 

@@ -9,6 +9,7 @@ from nova_pointcloud_tpu.models.pointcloud import PreLNBlock
 from nova_pointcloud_tpu.ops.pallas.fused_block import (
     fused_ln_int8_matmul, fused_ln_int8_mlp, int8_matmul_residual)
 from nova_pointcloud_tpu.ops.quantization import int8_matmul, quantize_weight
+import pytest
 
 
 def test_fused_mlp_matches_xla_int8_path():
@@ -78,6 +79,7 @@ def test_int8_matmul_residual_matches_xla_int8():
                                atol=2e-2, rtol=2e-2)
 
 
+@pytest.mark.full
 def test_preln_block_prequantized_matches_ingraph(monkeypatch):
     """Serving with the precomputed "qparams" collection == quantizing
     in-graph (same int8 math, hoisted out of the sampling scan)."""
@@ -158,6 +160,38 @@ def test_fused_attention_block_matches_split_path():
     err = np.abs(np.asarray(out, np.float32) - np.asarray(ref, np.float32))
     scale = np.abs(np.asarray(ref, np.float32)).mean()
     assert err.mean() / scale < 2e-2, (err.mean(), scale)
+
+
+def test_fused_attention_block_sb_override_is_bitwise(monkeypatch):
+    """NOVA_ATTN_SB only changes the grid blocking, never the math: sb=1 and
+    sb=2 outputs must be bitwise identical (each sample's program is
+    independent). Fresh trace per setting (the override is read at trace
+    time), forced here by clearing jax caches."""
+    from nova_pointcloud_tpu.ops.pallas.fused_block import fused_attention_block
+
+    B, T, D, H = 4, 32, 256, 4
+    ks = jax.random.split(jax.random.PRNGKey(3), 6)
+    x = (jax.random.normal(ks[0], (B, T, D), jnp.float32) * 0.3
+         ).astype(jnp.bfloat16)
+    lns = jax.random.normal(ks[1], (D,)) * 0.1 + 1.0
+    lnb = jax.random.normal(ks[2], (D,)) * 0.1
+    qkv_w = quantize_weight(jax.random.normal(ks[3], (D, 3 * D)) * 0.05)
+    bqkv = jax.random.normal(ks[4], (3 * D,)) * 0.01
+    out_w = quantize_weight(jax.random.normal(ks[5], (D, D)) * 0.05)
+    bo = jax.random.normal(ks[5], (D,)) * 0.01
+
+    outs = []
+    for sb in ("1", "2"):
+        monkeypatch.setenv("NOVA_ATTN_SB", sb)
+        fused_attention_block.clear_cache()
+        with pltpu.force_tpu_interpret_mode():
+            outs.append(np.asarray(
+                fused_attention_block(x, lns, lnb, qkv_w.values, qkv_w.scales,
+                                      bqkv, out_w.values, out_w.scales, bo,
+                                      num_heads=H), np.float32))
+    monkeypatch.delenv("NOVA_ATTN_SB")
+    fused_attention_block.clear_cache()
+    np.testing.assert_array_equal(outs[0], outs[1])
 
 
 def test_fused_mlp_static_acts_matches_xla_static_math():
@@ -445,6 +479,7 @@ def test_diffusion_mlp_quantized_serving_matches_xla(monkeypatch):
     assert err.mean() / scale < 5e-2, (err.mean(), scale)
 
 
+@pytest.mark.full
 def test_nova_encode_step_static_serving_close_to_dynamic(monkeypatch):
     """encode_image_step with calibrated static scales (MLP sites + static
     softmax offset) tracks the dynamic int8 path when calibration covers the
