@@ -373,6 +373,7 @@ def bench_t2i(args):
             image_dim=4, image_base_size=(32, 32), video_base_size=(1, 16, 16),
             patch_size=2, text_token_dim=256, text_token_len=32,
             noise_scheduler=scheduler, quantize=args.quantize and on_tpu,
+            attn_core=args.attn_core if args.attn_core != "f32" else "bf16",
             dtype=jnp.bfloat16 if on_tpu else None)
     from nova_pointcloud_tpu.pipelines.builder import init_transformer
 
@@ -508,6 +509,7 @@ def bench_t2v(args):
             patch_size=2, text_token_dim=2560, text_token_len=256,
             rotary_pos_embed=True, video_mixer_rank=24,
             noise_scheduler=scheduler, quantize=args.quantize and on_tpu,
+            attn_core=args.attn_core if args.attn_core != "f32" else "bf16",
             dtype=jnp.bfloat16 if on_tpu else None)
     from nova_pointcloud_tpu.pipelines.builder import init_transformer
 

@@ -87,6 +87,7 @@ class NOVATransformer(nn.Module):
     quantize: bool = False  # int8 fused-MLP serving in both ViTs (vit.Block)
     dtype: Any = None
     pp_runner: Any = None  # pipeline-parallel stack runner (training)
+    attn_core: str = "bf16"  # static-softmax score-matmul precision (vit.Attention)
 
     # -- derived sizes ------------------------------------------------------
     @property
@@ -137,12 +138,14 @@ class NOVATransformer(nn.Module):
                                                attn_impl=self.attn_impl,
                                                quantize=self.quantize,
                                                dtype=self.dtype,
-                                               pp_runner=self.pp_runner)
+                                               pp_runner=self.pp_runner,
+                                               attn_core=self.attn_core)
         self.image_encoder = VisionTransformer(di, wi, hi, remat=self.remat,
                                                attn_impl=self.attn_impl,
                                                quantize=self.quantize,
                                                dtype=self.dtype,
-                                               pp_runner=self.pp_runner)
+                                               pp_runner=self.pp_runner,
+                                               attn_core=self.attn_core)
         self.image_decoder = DiffusionMLP(dd, wd, cond_dim=wi,
                                           out_dim=self.patch_dim,
                                           quantize=self.quantize,

@@ -45,7 +45,11 @@ class Attention(nn.Module):
     98% encode_image_step — the 48-layer ViT pass — so the attention
     projections are the largest bf16 matmuls left on the t2i/t2v serving
     path. The attention core itself stays bf16 (RoPE / visibility-bias /
-    KV-cache live in XLA or the flash kernel). Param tree unchanged."""
+    KV-cache live in XLA or the flash kernel). Param tree unchanged.
+
+    ``attn_core``: "bf16" (default) or "int8" — precision of the calibrated
+    static-softmax kernel's score matmul (flash_attention_static a_q/a_k;
+    takes effect only after calibrate() has sown the q/k amax)."""
 
     dim: int
     num_heads: int
@@ -53,6 +57,7 @@ class Attention(nn.Module):
     attn_impl: str = "auto"
     quantize: bool = False
     dtype: Any = None
+    attn_core: str = "bf16"
 
     def setup(self):
         self.qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias,
@@ -104,6 +109,14 @@ class Attention(nn.Module):
                      jnp.max(s).astype(jnp.float32),
                      reduce_fn=jnp.maximum,
                      init_fn=lambda: jnp.float32(-1e30))
+            # q/k amax (post-rope) -> static per-tensor scales for the int8
+            # score core (flash_attention_static a_q/a_k); recorded always,
+            # used only when attn_core == "int8"
+            for name, t in (("a_q", q), ("a_k", k)):
+                self.sow("act_stats", name,
+                         jnp.max(jnp.abs(t)).astype(jnp.float32),
+                         reduce_fn=jnp.maximum,
+                         init_fn=lambda: jnp.zeros((), jnp.float32))
         smax = self.get_variable("qparams", "a_smax", None)
         key_bias = (bias is None or (bias.ndim == 4 and bias.shape[1] == 1
                                      and bias.shape[2] == 1))
@@ -111,7 +124,11 @@ class Attention(nn.Module):
             from nova_pointcloud_tpu.ops.pallas.flash_attention import (
                 flash_attention_static)
 
-            o = flash_attention_static(q, k, v, smax, bias)
+            aq = ak = None
+            if self.attn_core == "int8":
+                aq = self.get_variable("qparams", "a_q", None)
+                ak = self.get_variable("qparams", "a_k", None)
+            o = flash_attention_static(q, k, v, smax, bias, a_q=aq, a_k=ak)
         elif cache is not None:
             o, cache = cached_attention(q, k, v, cache, cache_index, bias)
         else:
@@ -139,11 +156,12 @@ class Block(nn.Module):
     attn_impl: str = "auto"
     quantize: bool = False
     dtype: Any = None
+    attn_core: str = "bf16"
 
     def setup(self):
         self.attn = Attention(self.dim, self.num_heads, self.qkv_bias,
                               self.attn_impl, quantize=self.quantize,
-                              dtype=self.dtype)
+                              dtype=self.dtype, attn_core=self.attn_core)
         self.norm1 = nn.LayerNorm()
         self.norm2 = nn.LayerNorm()
         self.mlp = MLP(self.dim, self.mlp_ratio, dtype=self.dtype)
@@ -220,6 +238,7 @@ class _ViTScanBody(nn.Module):
     remat: bool = False
     quantize: bool = False
     dtype: Any = None
+    attn_core: str = "bf16"
 
     @nn.compact
     def __call__(self, carry, cache):
@@ -228,7 +247,7 @@ class _ViTScanBody(nn.Module):
                                                      cache is None) else Block
         blk = cls(self.dim, self.num_heads, self.mlp_ratio,
                   attn_impl=self.attn_impl, quantize=self.quantize,
-                  dtype=self.dtype, name="block")
+                  dtype=self.dtype, attn_core=self.attn_core, name="block")
         h, new_cache = blk(h, bias, rope, cache, cache_index)
         return (h, bias, rope, cache_index), new_cache
 
@@ -255,6 +274,7 @@ class VisionTransformer(nn.Module):
     quantize: bool = False  # int8 fused MLP serving path (see Block)
     dtype: Any = None
     pp_runner: Any = None  # pipeline-parallel stack runner (training)
+    attn_core: str = "bf16"  # static-softmax score-matmul precision (Attention)
 
     @property
     def enc_depth(self) -> int:
@@ -289,7 +309,7 @@ class VisionTransformer(nn.Module):
             length=length,
             metadata_params={nn.meta.PARTITION_NAME: None},
         )(self.embed_dim, self.num_heads, self.mlp_ratio, self.attn_impl,
-          self.remat, self.quantize, self.dtype, name=name)
+          self.remat, self.quantize, self.dtype, self.attn_core, name=name)
         (h, *_), new_cache = body((h, bias, rope, cache_index), cache)
         return h, new_cache
 

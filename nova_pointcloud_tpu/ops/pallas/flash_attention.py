@@ -366,6 +366,24 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 # ---------------------------------------------------------------------------
 # serving-only static-max attention (calibrated softmax offset)
 # ---------------------------------------------------------------------------
+def _static_kernel_int8(q_ref, k_ref, ve_ref, kb_ref, s_ref, o_ref, *, d):
+    """int8 score-core variant of _static_kernel: q/k arrive pre-quantized
+    with CALIBRATED per-tensor scales (vit.Attention sows "a_q"/"a_k"), so
+    the q k^T matmul runs at the MXU's 4x int8 rate with no per-row amax
+    reduce anywhere. s_ref holds the folded dequant factor
+    a_q * a_k / 127^2 * sm_scale. p @ [v|1] stays bf16 (the unnormalized
+    exp values span too much range for int8)."""
+    s = jax.lax.dot_general(q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    s = s.astype(jnp.float32) * s_ref[0, 0] + kb_ref[0]
+    p = jnp.exp(jnp.minimum(s, 20.0)).astype(jnp.bfloat16)
+    ol = jax.lax.dot_general(p, ve_ref[0], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    o = jax.lax.slice(ol, (0, 0), (ol.shape[0], d))
+    l = jax.lax.slice(ol, (0, d), (ol.shape[0], d + 1))
+    o_ref[0] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
 def _static_kernel(q_ref, k_ref, ve_ref, kb_ref, o_ref, *, sm_scale, d):
     """One (bh, q-block) program, whole key length resident:
 
@@ -398,7 +416,7 @@ def _static_kernel(q_ref, k_ref, ve_ref, kb_ref, o_ref, *, sm_scale, d):
 @functools.partial(jax.jit, static_argnames=("blk_q",))
 def flash_attention_static(q: jax.Array, k: jax.Array, v: jax.Array,
                            smax, bias: Optional[jax.Array] = None,
-                           blk_q: int = 352) -> jax.Array:
+                           blk_q: int = 352, a_q=None, a_k=None) -> jax.Array:
     """Serving-only attention with a CALIBRATED static softmax offset.
 
     q, k, v: (B, H, L, D) -> (B, H, Lq, D). ``smax`` is the calibrated max
@@ -406,11 +424,18 @@ def flash_attention_static(q: jax.Array, k: jax.Array, v: jax.Array,
     pipeline calibration). Scores are offset by -smax and clipped at +20
     before exp, so outliers beyond calibration saturate instead of
     overflowing. bias: None or key bias (B, 1, 1, Lk). Forward only — the
-    training path keeps the differentiable online-softmax kernel."""
+    training path keeps the differentiable online-softmax kernel.
+
+    ``a_q``/``a_k``: optional calibrated per-tensor amax of q and k (post
+    RoPE; vit.Attention sows "a_q"/"a_k"). When both are given the score
+    matmul runs int8 (4x MXU rate): q/k quantize with the static scales in
+    XLA (fused, no reduces) and the kernel folds a_q*a_k/127^2*sm_scale
+    into one dequant scalar. p @ v stays bf16."""
     b, h, lq, d = q.shape
     lk = k.shape[2]
     orig_lq = lq
     bh = b * h
+    int8_core = a_q is not None and a_k is not None
 
     kb = jnp.zeros((b, lk), jnp.float32)
     if bias is not None:
@@ -435,9 +460,28 @@ def flash_attention_static(q: jax.Array, k: jax.Array, v: jax.Array,
         q = jnp.pad(q, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
         lq += pad_q
 
+    out_dtype = q.dtype
+    if int8_core:
+        aq = jnp.maximum(jnp.asarray(a_q, jnp.float32), 1e-30)
+        ak = jnp.maximum(jnp.asarray(a_k, jnp.float32), 1e-30)
+        qx = jnp.clip(jnp.round(q.astype(jnp.float32) * (127.0 / aq)),
+                      -127, 127).astype(jnp.int8)
+        kx = jnp.clip(jnp.round(k.astype(jnp.float32) * (127.0 / ak)),
+                      -127, 127).astype(jnp.int8)
+        dq_scale = (aq * ak / (127.0 * 127.0) * d ** -0.5).reshape(1, 1)
+        kernel = functools.partial(_static_kernel_int8, d=d)
+        extra_specs = [pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                                    memory_space=pltpu.VMEM)]
+        extra_ops = [dq_scale]
+    else:
+        qx = q.astype(jnp.bfloat16)
+        kx = k.astype(jnp.bfloat16)
+        kernel = functools.partial(_static_kernel, sm_scale=d**-0.5, d=d)
+        extra_specs, extra_ops = [], []
+
     out = pl.pallas_call(
-        functools.partial(_static_kernel, sm_scale=d**-0.5, d=d),
-        out_shape=jax.ShapeDtypeStruct((bh, lq, d), q.dtype),
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bh, lq, d), out_dtype),
         grid_spec=pl.GridSpec(
             grid=(bh, lq // blk_q),
             in_specs=[
@@ -449,7 +493,7 @@ def flash_attention_static(q: jax.Array, k: jax.Array, v: jax.Array,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, lk), lambda i, j: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-            ],
+            ] + extra_specs,
             out_specs=pl.BlockSpec((1, blk_q, d), lambda i, j: (i, j, 0),
                                    memory_space=pltpu.VMEM),
         ),
@@ -458,9 +502,8 @@ def flash_attention_static(q: jax.Array, k: jax.Array, v: jax.Array,
             bytes_accessed=bh * (lq + 3 * lk) * d * q.dtype.itemsize,
             transcendentals=bh * lq * lk,
         ),
-    )(q.reshape(bh, lq, d).astype(jnp.bfloat16),
-      k.reshape(bh, lk, d).astype(jnp.bfloat16),
-      ve.reshape(bh, lk, de).astype(jnp.bfloat16), kb)
+    )(qx.reshape(bh, lq, d), kx.reshape(bh, lk, d),
+      ve.reshape(bh, lk, de).astype(jnp.bfloat16), kb, *extra_ops)
     out = out.reshape(b, h, lq, d)
     return out[:, :, :orig_lq]
 

@@ -166,6 +166,8 @@ ACT_SITE_NAMES = (
     "a_ln1", "a_av", "a_ln2", "a_mid",  # PreLNBlock (models/pointcloud.py)
     "a_x", "a_gelu",                    # ViT Block MLP (models/vit.py)
     "a_z", "a_h", "a_silu",             # DiffusionBlock (models/diffusion_mlp.py)
+    "a_q", "a_k",                       # q/k amax post-rope (vit.Attention;
+                                        # int8 static score core)
     "a_smax",                           # max attention logit (vit.Attention;
 )                                       # static softmax offset, NOT an amax —
                                         # margin does not apply

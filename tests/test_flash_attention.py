@@ -149,6 +149,39 @@ def test_flash_attention_static_matches_sdpa():
                                atol=2e-2, rtol=2e-2)
 
 
+def test_flash_attention_static_int8_core_matches_sdpa():
+    """int8 score core (calibrated static a_q/a_k scales) == SDPA within
+    int8 rounding; with and without a key bias."""
+    from nova_pointcloud_tpu.ops.attention import sdpa
+    from nova_pointcloud_tpu.ops.pallas.flash_attention import (
+        flash_attention_static)
+
+    B, H, L, D = 2, 4, 96, 32
+    ks = jax.random.split(jax.random.PRNGKey(43), 4)
+    q = jax.random.normal(ks[0], (B, H, L, D), jnp.float32) * 0.5
+    k = jax.random.normal(ks[1], (B, H, L, D), jnp.float32) * 0.5
+    v = jax.random.normal(ks[2], (B, H, L, D), jnp.float32)
+    smax = jnp.max(jnp.einsum("bhqd,bhkd->bhqk", q * D ** -0.5, k))
+    a_q = jnp.max(jnp.abs(q)) * 1.05  # the merge_act_scales margin
+    a_k = jnp.max(jnp.abs(k)) * 1.05
+
+    ref = sdpa(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention_static(q, k, v, smax, blk_q=48,
+                                     a_q=a_q, a_k=a_k)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=4e-2, rtol=4e-2)
+
+    bias = jnp.zeros((B, 1, 1, L))
+    bias = bias.at[0, :, :, L // 2:].set(-1e30)
+    ref_b = sdpa(q, k, v, bias)
+    with pltpu.force_tpu_interpret_mode():
+        out_b = flash_attention_static(q, k, v, smax, bias, blk_q=48,
+                                       a_q=a_q, a_k=a_k)
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(ref_b),
+                               atol=4e-2, rtol=4e-2)
+
+
 def test_flash_attention_static_outlier_clip():
     """Scores beyond the calibrated max saturate (clip at +20) instead of
     overflowing: output stays finite and close to the true softmax."""

@@ -317,7 +317,7 @@ def test_vit_block_calibration_and_static_serving(monkeypatch):
     (_, _), vs = blk.apply({"params": params}, x, mutable=["act_stats"])
     stats = vs["act_stats"]
     assert set(stats) == {"a_x", "a_gelu", "attn"}
-    assert set(stats["attn"]) == {"a_smax"}
+    assert set(stats["attn"]) == {"a_smax", "a_q", "a_k"}
     qp = quantize_serving_params(params)
     qp_static = merge_act_scales(qp, stats, margin=1.05)
 
@@ -328,6 +328,15 @@ def test_vit_block_calibration_and_static_serving(monkeypatch):
         stat, _ = blk.apply({"params": params, "qparams": qp_static}, x)
     dyn, stat = np.asarray(dyn, np.float32), np.asarray(stat, np.float32)
     assert np.abs(stat - dyn).mean() / np.abs(dyn).mean() < 3e-2
+
+    # int8 score core: same calibrated qparams, attn_core="int8" switches
+    # the static kernel's q k^T matmul to int8 with the a_q/a_k scales
+    blk8 = vit_mod.Block(dim=128, num_heads=4, quantize=True,
+                         attn_core="int8")
+    with pltpu.force_tpu_interpret_mode():
+        stat8, _ = blk8.apply({"params": params, "qparams": qp_static}, x)
+    stat8 = np.asarray(stat8, np.float32)
+    assert np.abs(stat8 - dyn).mean() / np.abs(dyn).mean() < 4e-2
 
 
 def test_diffusion_block_calibration_and_static_serving(monkeypatch):
