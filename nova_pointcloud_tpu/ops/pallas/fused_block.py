@@ -331,7 +331,10 @@ def _attn_core_head(qh, kh, vh, scale, core, smax=None):
         p = jax.nn.softmax(s, axis=-1)
     else:
         e = jnp.exp(jnp.minimum(s - smax, 20.0))
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        # guard rows whose logits sit far below the calibrated global max
+        # (every exp underflows to 0): match flash_attention's static
+        # kernels, which clamp the denominator instead of emitting 0/0
+        p = e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
     if core == "int8":
         v8, sv = _quant_rows(vh)
         p8, sp = _quant_rows(p * sv.reshape(1, -1))
@@ -436,7 +439,10 @@ def fused_attention_block(x: jax.Array, ln_scale: jax.Array,
     b, t, d = x.shape
     sb = 2 if (b % 2 == 0
                and attention_block_vmem_bytes(t, d, 2) <= 14 * 2**20) else 1
-    sb_env = int(os.environ.get("NOVA_ATTN_SB", "0"))
+    try:
+        sb_env = int(os.environ.get("NOVA_ATTN_SB", "0"))
+    except ValueError:  # empty/malformed: fall back to auto, as documented
+        sb_env = 0
     if sb_env > 0 and b % sb_env == 0:
         sb = sb_env
     static_acts = a_in is not None

@@ -222,7 +222,13 @@ class NOVAPipeline:
                     # (cond - perturb) term is nonzero. The reference ships
                     # this as a silent no-op (stg_skip only exists in its
                     # unused DiT); fixed per policy.
-                    stg_rows = (batch if guidance.spatiotemporal_guidance_scale
+                    # Only when the 3rd pass IS the STG pass: guidance off
+                    # means n_passes == 1 (perturbing would corrupt the lone
+                    # cond pass), and image guidance wins the 3rd-pass slot
+                    # in combine() (`guidance_scaler.py:74-87`).
+                    stg_rows = (batch if (guidance.enabled
+                                          and guidance.spatiotemporal_guidance_scale
+                                          and not guidance.image_guidance_scale)
                                 else None)
 
                     def diff_body(carry, j):
@@ -302,8 +308,6 @@ class NOVAPipeline:
                                     caches, 0, 0)
             states_star = states0 if model.video_mixer_rank is not None else None
             latent0 = latents0 if prefill else generate_frame(states0, k_frame0)
-            if T == 1:
-                return latent0[:, None]
 
             def frame_body(carry, t_idx):
                 caches, cache_index, latent_prev, key = carry

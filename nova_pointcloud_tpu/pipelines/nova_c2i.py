@@ -18,9 +18,10 @@ from nova_pointcloud_tpu.pipelines.nova import NOVAPipeline, NOVAPipelineOutput
 class NOVAC2IPipeline(NOVAPipeline):
     """NOVAPipeline whose prompt is a class-label id list."""
 
-    def __init__(self, model, params, scheduler, vae=None, vae_params=None):
+    def __init__(self, model, params, scheduler, vae=None, vae_params=None,
+                 mesh=None):
         super().__init__(model, params, scheduler, vae, vae_params,
-                         text_encoder=None)
+                         text_encoder=None, mesh=mesh)
         self._embed_label = jax.jit(
             lambda p, ids: self.model.apply({"params": p}, ids,
                                             method=self.model.embed_label))

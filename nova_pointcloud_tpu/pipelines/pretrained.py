@@ -177,7 +177,7 @@ def from_pretrained(path: str, dtype=None, mesh=None,
         from nova_pointcloud_tpu.pipelines.nova_c2i import NOVAC2IPipeline
 
         return NOVAC2IPipeline(model, params, sample_sched,
-                               vae=vae, vae_params=vae_params)
+                               vae=vae, vae_params=vae_params, mesh=mesh)
     from nova_pointcloud_tpu.pipelines.nova import NOVAPipeline
 
     return NOVAPipeline(model, params, sample_sched, vae=vae,

@@ -79,3 +79,21 @@ def test_stg_changes_sampler_output():
         pipe(["a"], spatiotemporal_guidance_scale=1.0, **kw).latents)
     assert np.isfinite(stg).all()
     assert np.max(np.abs(stg - plain)) > 1e-4
+
+    # the perturbation must apply ONLY when the 3rd pass is the STG pass:
+    # with guidance off (scale<=1) there is a single cond pass — perturbing
+    # it would corrupt the unguided sampler
+    kw_off = dict(kw, guidance_scale=1.0)
+    plain_off = np.asarray(pipe(["a"], **kw_off).latents)
+    stg_off = np.asarray(
+        pipe(["a"], spatiotemporal_guidance_scale=1.0, **kw_off).latents)
+    np.testing.assert_allclose(stg_off, plain_off, atol=1e-6)
+
+    # and with image guidance active the 3rd pass is the image-free pass
+    # (combine's image branch wins, `guidance_scaler.py:74-81`) — STG must
+    # not perturb it
+    kw_img = dict(kw, image_guidance_scale=0.5)
+    img = np.asarray(pipe(["a"], **kw_img).latents)
+    img_stg = np.asarray(
+        pipe(["a"], spatiotemporal_guidance_scale=1.0, **kw_img).latents)
+    np.testing.assert_allclose(img_stg, img, atol=1e-6)
