@@ -162,6 +162,35 @@ def test_fused_attention_block_matches_split_path():
     assert err.mean() / scale < 2e-2, (err.mean(), scale)
 
 
+def test_fused_attention_block_static_smax_far_row_is_finite():
+    """A serving row whose logits sit ~90+ below the calibrated global max
+    has every exp underflow to 0 — the static-smax softmax must clamp its
+    denominator (0/0 NaN would poison the residual stream)."""
+    from nova_pointcloud_tpu.ops.pallas.fused_block import fused_attention_block
+
+    B, T, D, H = 1, 64, 256, 4
+    ks = jax.random.split(jax.random.PRNGKey(11), 5)
+    x = (jax.random.normal(ks[0], (B, T, D), jnp.float32) * 0.3
+         ).astype(jnp.bfloat16)
+    lns = jnp.ones((D,))
+    lnb = jnp.zeros((D,))
+    qkv_w = quantize_weight(jax.random.normal(ks[1], (D, 3 * D)) * 0.05)
+    bqkv = jnp.zeros((3 * D,))
+    out_w = quantize_weight(jax.random.normal(ks[2], (D, D)) * 0.05)
+    bo = jnp.zeros((D,))
+    with pltpu.force_tpu_interpret_mode():
+        out = fused_attention_block(x, lns, lnb, qkv_w.values, qkv_w.scales,
+                                    bqkv, out_w.values, out_w.scales, bo,
+                                    num_heads=H, core="bf16",
+                                    a_smax=jnp.float32(120.0))
+    out = np.asarray(out, np.float32)
+    assert np.isfinite(out).all()
+    # with every softmax weight underflowed the block contributes ~nothing:
+    # output falls back to the residual input
+    np.testing.assert_allclose(out, np.asarray(x, np.float32),
+                               atol=np.abs(np.asarray(bo)).max() + 0.15)
+
+
 def test_fused_attention_block_sb_override_is_bitwise(monkeypatch):
     """NOVA_ATTN_SB only changes the grid blocking, never the math: sb=1 and
     sb=2 outputs must be bitwise identical (each sample's program is
