@@ -457,6 +457,7 @@ def bench_t2i(args):
                          if args.quantize and on_tpu else "bf16"),
         "value": round(sps, 3), "unit": "samples/sec/chip",
         "static_acts": bool(args.static_acts and args.quantize and on_tpu),
+        "attn_core": args.attn_core if args.attn_core != "f32" else "bf16",
         "vs_baseline": round(sps / T2I_H100_EST_IMAGES_PER_SEC, 3),
         "baseline_note": "H100 est. for the reference design (measured "
                          "139.1 TFLOP/image via torch FlopCounterMode at "
@@ -600,6 +601,7 @@ def bench_t2v(args):
                          if args.quantize and on_tpu else "bf16"),
         "value": round(batch / p50, 4), "unit": "videos/sec/chip",
         "static_acts": bool(args.static_acts and args.quantize and on_tpu),
+        "attn_core": args.attn_core if args.attn_core != "f32" else "bf16",
         "vs_baseline": round(vps / T2V_H100_EST_VIDEOS_PER_SEC, 3),
         "baseline_note": "H100 est. for the reference design (measured "
                          "1951.9 TFLOP/video, torch FlopCounterMode at "

@@ -366,6 +366,19 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 # ---------------------------------------------------------------------------
 # serving-only static-max attention (calibrated softmax offset)
 # ---------------------------------------------------------------------------
+def _static_tail(s, ve_ref, o_ref, *, d):
+    """Shared tail of the static kernels: clipped exp off the calibrated
+    offset, p @ [v | 1] on the MXU (the ones column IS the softmax
+    denominator), clamped normalize (rows entirely below calibration
+    underflow to 0 — clamp instead of 0/0)."""
+    p = jnp.exp(jnp.minimum(s, 20.0)).astype(jnp.bfloat16)
+    ol = jax.lax.dot_general(p, ve_ref[0], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    o = jax.lax.slice(ol, (0, 0), (ol.shape[0], d))
+    l = jax.lax.slice(ol, (0, d), (ol.shape[0], d + 1))
+    o_ref[0] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
 def _static_kernel_int8(q_ref, k_ref, ve_ref, kb_ref, s_ref, o_ref, *, d):
     """int8 score-core variant of _static_kernel: q/k arrive pre-quantized
     with CALIBRATED per-tensor scales (vit.Attention sows "a_q"/"a_k"), so
@@ -376,12 +389,7 @@ def _static_kernel_int8(q_ref, k_ref, ve_ref, kb_ref, s_ref, o_ref, *, d):
     s = jax.lax.dot_general(q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.int32)
     s = s.astype(jnp.float32) * s_ref[0, 0] + kb_ref[0]
-    p = jnp.exp(jnp.minimum(s, 20.0)).astype(jnp.bfloat16)
-    ol = jax.lax.dot_general(p, ve_ref[0], (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    o = jax.lax.slice(ol, (0, 0), (ol.shape[0], d))
-    l = jax.lax.slice(ol, (0, d), (ol.shape[0], d + 1))
-    o_ref[0] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    _static_tail(s, ve_ref, o_ref, d=d)
 
 
 def _static_kernel(q_ref, k_ref, ve_ref, kb_ref, o_ref, *, sm_scale, d):
@@ -405,12 +413,7 @@ def _static_kernel(q_ref, k_ref, ve_ref, kb_ref, o_ref, *, sm_scale, d):
                             (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
     s = s + kb_ref[0]  # (1, lk) broadcast: key bias - smax
-    p = jnp.exp(jnp.minimum(s, 20.0)).astype(jnp.bfloat16)
-    ol = jax.lax.dot_general(p, ve_ref[0], (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    o = jax.lax.slice(ol, (0, 0), (ol.shape[0], d))
-    l = jax.lax.slice(ol, (0, d), (ol.shape[0], d + 1))
-    o_ref[0] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    _static_tail(s, ve_ref, o_ref, d=d)
 
 
 @functools.partial(jax.jit, static_argnames=("blk_q",))
@@ -499,7 +502,10 @@ def flash_attention_static(q: jax.Array, k: jax.Array, v: jax.Array,
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * bh * lq * lk * d,
-            bytes_accessed=bh * (lq + 3 * lk) * d * q.dtype.itemsize,
+            # q/k at their actual serving precision (int8 when the score
+            # core is quantized) + bf16 [v|1] + the output block
+            bytes_accessed=bh * ((lq + lk) * d * qx.dtype.itemsize
+                                 + 2 * (lk * de + lq * d)),
             transcendentals=bh * lq * lk,
         ),
     )(qx.reshape(bh, lq, d), kx.reshape(bh, lk, d),

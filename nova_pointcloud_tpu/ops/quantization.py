@@ -173,6 +173,15 @@ ACT_SITE_NAMES = (
                                         # margin does not apply
 
 
+# q/k are per-tensor extreme-value stats of an attention projection — unlike
+# the post-LN bulk sites their amax is content-sensitive (a 2x-shifted prompt
+# set measured ~1.37x drift vs <=1.16x for every post-LN site;
+# tests/test_calibration_shift.py). Extra serving headroom keeps shifted
+# prompts inside the int8 score core's envelope at a ~0.3-bit quantization
+# cost (the core is opt-in, parity-tested at this margin).
+QK_EXTRA_MARGIN = 1.2
+
+
 def merge_act_scales(qparams, act_stats, margin: float = 1.0):
     """Fold a calibration run's activation stats into a qparams tree.
 
@@ -190,7 +199,12 @@ def merge_act_scales(qparams, act_stats, margin: float = 1.0):
         out = dict(q) if isinstance(q, dict) else {}
         for k, v in s.items():
             if k in ACT_SITE_NAMES:
-                m = 1.0 if k == "a_smax" else margin  # logit, not an amax
+                if k == "a_smax":
+                    m = 1.0  # logit, not an amax
+                elif k in ("a_q", "a_k"):
+                    m = margin * QK_EXTRA_MARGIN
+                else:
+                    m = margin
                 out[k] = jnp.asarray(v, jnp.float32) * m
             else:
                 out[k] = merge(out.get(k, {}), v)

@@ -281,6 +281,11 @@ class NOVAPipeline:
 
             nb = batch * n_passes
             if T == 1:
+                if prefill:
+                    # i2v degenerate case: frame 0 is the given image and
+                    # there is nothing to generate (the reference's frame
+                    # loop skips prefilled frames)
+                    return latents0[:, None]
                 bos = apply(model.bos_frame, nb)  # (nB, 1, Nv, D)
                 cond = apply(model.encode_video, bos, c_text, 1)
                 return generate_frame(cond, key)[:, None]  # (B, 1, Ni, pd)

@@ -36,7 +36,17 @@ CLIP_WINDOW = 20.0  # flash_attention_static stays exact to offset+20
 # site whose range TRACKS the prompt distribution (e.g. pre-LN): with the 2x
 # shifted-norm set below, such a site drifts ~2x and trips this threshold.
 AMAX_DRIFT = 1.35
+# a_q/a_k (int8 score core, opt-in) are extreme-value stats of an attention
+# PROJECTION, not post-LN bulk activations — wider-tailed under content
+# shift by construction. merge_act_scales gives them QK_EXTRA_MARGIN extra
+# serving headroom; the structural bound mirrors it (a norm-tracking site
+# would still drift ~2x and trip this).
+QK_AMAX_DRIFT = AMAX_DRIFT * 1.2
 MARGIN = 1.05  # multiplicative amax headroom applied at serving
+
+
+def _amax_bound(name: str) -> float:
+    return QK_AMAX_DRIFT if ("a_q" in name or "a_k" in name) else AMAX_DRIFT
 
 
 def _make_pipe():
@@ -89,12 +99,13 @@ def test_shifted_prompts_stay_inside_serving_envelope():
             worst["smax"] = max(worst["smax"], float(np.max(vb - va)))
         else:
             ratio = float(np.max(vb / np.maximum(va, 1e-12)))
+            # B's activation ranges must not drift structurally past A's
+            # envelope (mild outlier clipping is fine, norm-tracking is not;
+            # a_q/a_k get the mirrored wider bound — see QK_AMAX_DRIFT)
+            assert ratio <= _amax_bound(name), (name, ratio)
             worst["amax"] = max(worst["amax"], ratio)
     # B's logits must stay exact under A's offset (clip window)
     assert worst["smax"] <= CLIP_WINDOW, worst
-    # B's activation ranges must not drift structurally past A's envelope
-    # (see AMAX_DRIFT: mild outlier clipping is fine, norm-tracking is not)
-    assert worst["amax"] <= AMAX_DRIFT, worst
 
 
 @pytest.mark.full
@@ -115,7 +126,7 @@ def test_calibration_is_stable_across_seeds():
             hi = float(np.max(vb / np.maximum(va, 1e-12)))
             # same-distribution draws should sit near the margin; use the
             # structural threshold to keep the guard draw-noise-proof
-            assert hi <= AMAX_DRIFT, (name, hi)
+            assert hi <= _amax_bound(name), (name, hi)
 
 
 def test_video_calibration_covers_kv_path():

@@ -160,6 +160,23 @@ class TestGeneration:
         assert out.latents.shape == (1, 9, h, w, 4)
         assert bool(jnp.all(jnp.isfinite(out.latents)))
 
+    def test_i2v_prefill_single_frame_returns_input(self):
+        """Degenerate i2v: latents= given with max_latent_length=1 — frame 0
+        is the provided image and nothing is generated, so the output is the
+        input (it used to be silently discarded and replaced by a fresh t2i
+        sample)."""
+        scheduler = FlowMatchEulerScheduler()
+        model, params = make_model(scheduler=scheduler)
+        pipe = NOVAPipeline(model, params, scheduler,
+                            text_encoder=DummyTextEncoder(32, 8))
+        h, w = model.latent_hw
+        lat = jax.random.normal(jax.random.PRNGKey(7), (1, h, w, 4))
+        out = pipe(["a chair"], num_inference_steps=4, num_diffusion_steps=2,
+                   max_latent_length=1, guidance_scale=2.0,
+                   latents=lat, key=jax.random.PRNGKey(0))
+        np.testing.assert_allclose(np.asarray(out.latents),
+                                   np.asarray(lat), atol=1e-5)
+
     def test_deterministic_given_key(self):
         scheduler = FlowMatchEulerScheduler()
         model, params = make_model(scheduler=scheduler)
