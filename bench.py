@@ -76,7 +76,7 @@ def _last_json_line(text):
             try:
                 return json.loads(line)
             except json.JSONDecodeError:
-                return None
+                continue  # keep scanning: stray '{...' noise after the line
     return None
 
 

@@ -35,11 +35,31 @@ def _read_state_dict(subdir: str) -> dict:
     no torch at all; .bin/.pt fall back to torch.load."""
     files = sorted(glob.glob(os.path.join(subdir, "*.safetensors")))
     if files:
-        from safetensors.numpy import load_file
-
         sd = {}
-        for f in files:
-            sd.update(load_file(f))
+        try:
+            from safetensors.numpy import load_file
+
+            for f in files:
+                for k, v in load_file(f).items():
+                    # bf16/fp16/fp8 shards (bf16-trained torch models are
+                    # common) arrive as ml_dtypes numpy arrays that the
+                    # transplant mappers don't expect — normalize every
+                    # non-integer dtype to fp32, matching the .bin path's
+                    # v.float().numpy(). (kind 'V' covers ml_dtypes
+                    # extension floats like bfloat16/float8.)
+                    if v.dtype.kind not in "iub" and v.dtype != np.float32:
+                        v = v.astype(np.float32)
+                    sd[k] = v
+        except (TypeError, ValueError, ImportError):
+            # older safetensors.numpy cannot represent bf16/fp8 at all —
+            # route through torch instead.
+            from safetensors.torch import load_file as load_torch
+
+            sd = {}
+            for f in files:
+                for k, v in load_torch(f).items():
+                    sd[k] = v.float().numpy() if v.is_floating_point() \
+                        else v.numpy()
         return sd
     files = sorted(glob.glob(os.path.join(subdir, "*.bin"))
                    + glob.glob(os.path.join(subdir, "*.pt")))

@@ -25,3 +25,20 @@ jax.config.update("jax_threefry_partitionable", True)
 from nova_pointcloud_tpu.utils.platform import enable_compilation_cache  # noqa: E402
 
 enable_compilation_cache()
+
+
+def pytest_collection_modifyitems(config, items):
+    """Default tier = everything not marked `full` (pyproject markers).
+
+    Implemented here instead of `addopts='-m "not full"'` so that explicitly
+    naming a full-marked file (`pytest tests/test_full_sampler_parity.py`)
+    still runs it — with addopts that invocation silently deselected every
+    test. Deselect only when the user gave no -m AND the selection mixes
+    tiers (i.e. a broad `pytest tests/` run)."""
+    if config.getoption("-m"):
+        return
+    full = [i for i in items if i.get_closest_marker("full") is not None]
+    if not full or len(full) == len(items):
+        return
+    items[:] = [i for i in items if i.get_closest_marker("full") is None]
+    config.hook.pytest_deselected(items=full)

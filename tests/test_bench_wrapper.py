@@ -27,6 +27,11 @@ def test_last_json_line():
     # picks the LAST json line (calibration notes may print dicts earlier)
     two = "{\"a\": 1}\n# sep\n{\"b\": 2}\n"
     assert bench._last_json_line(two) == {"b": 2}
+    # stray '{'-prefixed noise AFTER the metric line (library dict reprs,
+    # partially flushed output) must not mask a valid earlier line — a
+    # misclassified success re-runs the whole bench until the deadline
+    noisy = "{\"metric\": \"m\", \"value\": 3}\n{'repr': obj}\n{trunc"
+    assert bench._last_json_line(noisy) == {"metric": "m", "value": 3}
 
 
 def test_wait_for_tpu_gives_up(monkeypatch):

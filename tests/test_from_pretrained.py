@@ -161,3 +161,21 @@ def test_from_pretrained_latent_only(tmp_path):
                key=jax.random.PRNGKey(1), output_type="latent")
     lat = np.asarray(out.latents)
     assert lat.shape == (2, 8, 8, 4) and np.isfinite(lat).all()
+
+
+def test_read_state_dict_bf16_safetensors(tmp_path):
+    """bf16 shards (common for bf16-trained torch models) must load: the
+    safetensors.numpy reader cannot represent bf16, so the loader routes
+    through safetensors.torch and converts to fp32 numpy (review r4)."""
+    from nova_pointcloud_tpu.pipelines.pretrained import _read_state_dict
+
+    d = str(tmp_path / "transformer")
+    os.makedirs(d)
+    w = torch.randn(4, 3, dtype=torch.float32)
+    safetensors_torch.save_file(
+        {"w": w.to(torch.bfloat16).contiguous()},
+        os.path.join(d, "diffusion_pytorch_model.safetensors"))
+    sd = _read_state_dict(d)
+    assert sd["w"].dtype == np.float32
+    np.testing.assert_allclose(
+        sd["w"], w.to(torch.bfloat16).float().numpy(), atol=0)
