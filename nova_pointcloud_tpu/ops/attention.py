@@ -24,8 +24,8 @@ def sdpa(q: jax.Array, k: jax.Array, v: jax.Array,
     """Scaled dot-product attention. q,k,v: (B, H, L, D); bias broadcastable
     to (B, H, Lq, Lk). Softmax in fp32 for bf16 inputs."""
     scale = scale if scale is not None else q.shape[-1] ** -0.5
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
-    logits = logits.astype(jnp.float32)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
     if bias is not None:
         logits = logits + bias.astype(jnp.float32)
     # guard fully-masked rows (all -inf) against NaN softmax
@@ -71,11 +71,24 @@ def _use_pallas(q: jax.Array, k: jax.Array, bias, impl: str) -> bool:
     # microbench doesn't account for.
     if k.shape[-2] < 1024:
         return False
+    # VMEM gate: the kernel keeps whole-length K and V resident per (b, h)
+    # program, upcast to f32 inside the body. Past ~half of VMEM the Mosaic
+    # allocation fails at compile time, so fall back to XLA (which tiles)
+    # instead of crashing dispatch; ring attention is the intended path for
+    # sequences that genuinely outgrow one chip.
+    if 2 * k.shape[-2] * k.shape[-1] * 4 > 8 * 1024 * 1024:
+        return False
     if bias is None:
         return True
-    # kernel supports key bias (.., 1, 1, Lk) and shared full bias (1,1,Lq,Lk)
-    return bias.ndim == 4 and bias.shape[1] == 1 and (
-        bias.shape[2] == 1 or bias.shape[0] == 1)
+    # kernel supports key bias (.., 1, 1, Lk) and shared full bias
+    # (1, 1, Lq, Lk) — the trailing dims must MATCH (not merely broadcast to)
+    # the score shape, or the BlockSpecs inside the kernel misalign.
+    if bias.ndim != 4 or bias.shape[1] != 1:
+        return False
+    if bias.shape[-1] != k.shape[-2]:
+        return False
+    return bias.shape[2] == 1 or (
+        bias.shape[0] == 1 and bias.shape[2] == q.shape[-2])
 
 
 def make_flax_attention_fn(impl: str = "auto"):
@@ -101,7 +114,11 @@ def make_flax_attention_fn(impl: str = "auto"):
             mb = jnp.where(mask, 0.0, -jnp.inf)
             b = mb if b is None else b + mb
         has_dropout = (not deterministic) and dropout_rate > 0.0
-        if has_dropout or not _use_pallas(q, k, b, impl):
+        # A user-supplied bias may be a LEARNED parameter; the pallas kernel
+        # declares zero bias cotangents (masks are constants in NOVA) and
+        # would silently freeze it during training — keep explicit biases on
+        # the XLA path. Mask-derived biases (constants) still ride pallas.
+        if has_dropout or bias is not None or not _use_pallas(q, k, b, impl):
             return nn.dot_product_attention(
                 query, key, value, bias=bias, mask=mask,
                 broadcast_dropout=broadcast_dropout, dropout_rng=dropout_rng,

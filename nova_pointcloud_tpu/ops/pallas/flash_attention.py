@@ -154,15 +154,22 @@ def _bias_specs_args(key_bias, full_bias, lq, lk, h, blk_q, blk_k, by_q):
 
     by_q: index_map keyed by (bh, q-block) grid; else (bh, k-block) grid where
     the full bias block is the whole Lq x blk_k column stripe.
+
+    The key bias stays (B, 1, Lk) in HBM — the per-head view is an index_map
+    ``i // h`` over the bh grid dim, NOT a jnp.repeat materialization (which
+    would write B*H copies to HBM three times per training step: fwd + both
+    bwd kernels).
     """
     specs, args = [], []
     if key_bias is not None:
-        kb = jnp.repeat(key_bias.astype(jnp.float32), h, axis=0)[:, None, :]
+        kb = key_bias.astype(jnp.float32)[:, None, :]  # (B, 1, Lk)
         if by_q:  # kernel loops over k internally: give it the whole row
-            specs.append(pl.BlockSpec((1, 1, lk), lambda i, j: (i, 0, 0),
+            specs.append(pl.BlockSpec((1, 1, lk),
+                                      lambda i, j, h=h: (i // h, 0, 0),
                                       memory_space=pltpu.VMEM))
         else:  # j indexes k-blocks: slice the row per block
-            specs.append(pl.BlockSpec((1, 1, blk_k), lambda i, j: (i, 0, j),
+            specs.append(pl.BlockSpec((1, 1, blk_k),
+                                      lambda i, j, h=h: (i // h, 0, j),
                                       memory_space=pltpu.VMEM))
         args.append(kb)
     if full_bias is not None:
@@ -361,9 +368,6 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
 # ---------------------------------------------------------------------------
-# public entry: bias normalization + padding, then the custom-vjp core
-# ---------------------------------------------------------------------------
-# ---------------------------------------------------------------------------
 # serving-only static-max attention (calibrated softmax offset)
 # ---------------------------------------------------------------------------
 def _static_tail(s, ve_ref, o_ref, *, d):
@@ -447,7 +451,7 @@ def flash_attention_static(q: jax.Array, k: jax.Array, v: jax.Array,
                              f"{None if bias is None else bias.shape}")
         kb = jnp.broadcast_to(bias[:, 0, 0, :], (b, lk)).astype(jnp.float32)
     kb = kb - jnp.asarray(smax, jnp.float32)
-    kb = jnp.repeat(kb, h, axis=0)[:, None, :]  # (bh, 1, lk)
+    kb = kb[:, None, :]  # (B, 1, lk); per-head view via index_map i // h
 
     # ones column rides the value matrix; pad lanes to a 128 multiple
     ve = jnp.concatenate(
@@ -494,7 +498,7 @@ def flash_attention_static(q: jax.Array, k: jax.Array, v: jax.Array,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, lk, de), lambda i, j: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, lk), lambda i, j: (i, 0, 0),
+                pl.BlockSpec((1, 1, lk), lambda i, j: (i // h, 0, 0),
                              memory_space=pltpu.VMEM),
             ] + extra_specs,
             out_specs=pl.BlockSpec((1, blk_q, d), lambda i, j: (i, j, 0),
@@ -514,6 +518,9 @@ def flash_attention_static(q: jax.Array, k: jax.Array, v: jax.Array,
     return out[:, :, :orig_lq]
 
 
+# ---------------------------------------------------------------------------
+# public entry: bias normalization + padding, then the custom-vjp core
+# ---------------------------------------------------------------------------
 @functools.partial(jax.jit, static_argnames=("blk_q", "blk_k"))
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     bias: Optional[jax.Array] = None,
@@ -522,7 +529,10 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 
     bias: None | (B, 1, 1, Lk) key bias | (1, 1, Lq, Lk) full bias
     (other broadcastable shapes fall back to dense XLA attention upstream).
-    Bias cotangents are zero (mask constants in NOVA).
+    Bias cotangents are ZERO (masks are constants in NOVA) — a learnable
+    bias must NOT be routed through this kernel; the dispatcher
+    (ops/attention.make_flax_attention_fn) keeps user-supplied biases on
+    the XLA path for exactly this reason.
     """
     b, h, lq, d = q.shape
     lk = k.shape[2]
@@ -534,10 +544,14 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
             raise ValueError(f"bias must be 4D, got {bias.shape}")
         if bias.shape[1] != 1:
             raise ValueError("per-head bias unsupported in the pallas kernel")
+        if bias.shape[-1] not in (1, lk):
+            raise ValueError(f"bias last dim must be 1 or Lk={lk}, got "
+                             f"{bias.shape} (broadcastable-but-mismatched "
+                             f"shapes belong on the sdpa path)")
         if bias.shape[2] == 1:  # (B or 1, 1, 1, Lk)
             key_bias = jnp.broadcast_to(bias[:, 0, 0, :], (b, lk))
-        elif bias.shape[0] == 1:  # (1, 1, Lq, Lk)
-            full_bias = bias[0, 0]
+        elif bias.shape[0] == 1 and bias.shape[2] == lq:  # (1, 1, Lq, Lk)
+            full_bias = jnp.broadcast_to(bias[0, 0], (lq, lk))
         else:
             raise ValueError(f"unsupported bias shape {bias.shape}")
 

@@ -35,6 +35,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# The serving kernels quantize with the SAME function as the XLA path and
+# the calibration mirror (pure jnp, Pallas-lowerable), so a rounding/clip
+# change can never desync them.
+from nova_pointcloud_tpu.ops.quantization import (
+    quantize_activations as _quant_rows)
+
 
 def _ln(x, scale, bias, eps=1e-6):
     mu = jnp.mean(x, axis=-1, keepdims=True)
@@ -42,12 +48,28 @@ def _ln(x, scale, bias, eps=1e-6):
     return (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias
 
 
-def _quant_rows(x):
-    """Per-row symmetric int8; matches ops/quantization.quantize_activations."""
-    amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
-    s = jnp.maximum(amax / 127.0, 1e-8)
-    q = jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8)
-    return q, s
+def _row2(a):
+    """Scalars/vectors as (1, L) f32 for TPU-legal VMEM layouts."""
+    return jnp.asarray(a, jnp.float32).reshape(1, -1)
+
+
+def _const_spec(shape):
+    """BlockSpec for a grid-invariant operand (weights, scales, biases)."""
+    return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                        memory_space=pltpu.VMEM)
+
+
+def _check_act_scales(**sites):
+    """Calibrated static amax scalars must be given all-or-none per kernel;
+    a partially-merged qparams tree (one site never sown during calibration)
+    would otherwise crash at trace time with an opaque asarray(None) error."""
+    given = {k: v is not None for k, v in sites.items()}
+    if any(given.values()) and not all(given.values()):
+        missing = [k for k, g in given.items() if not g]
+        raise ValueError(
+            f"static activation scales are all-or-none: got "
+            f"{[k for k, g in given.items() if g]} but {missing} is None — "
+            f"was this site sown during pipeline.calibrate()?")
 
 
 def _quant_static(x, amax):
@@ -132,26 +154,21 @@ def fused_ln_int8_mlp(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
     if pad:
         xf = jnp.pad(xf, ((0, pad), (0, 0)))
     rows = xf.shape[0]
+    _check_act_scales(a_in=a_in, a_mid=a_mid)
     static_acts = a_in is not None
-
-    def row2(a):  # scalars/vectors as (1, L) for TPU-legal layouts
-        return a.astype(jnp.float32).reshape(1, -1)
-
-    def const(shape):
-        return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
 
     in_specs = [
         pl.BlockSpec((block_m, d), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
-        const((1, d)), const((1, d)),
-        const((d, f)), const((1, f)), const((1, f)),
-        const((f, d)), const((1, d)), const((1, d)),
+        _const_spec((1, d)), _const_spec((1, d)),
+        _const_spec((d, f)), _const_spec((1, f)), _const_spec((1, f)),
+        _const_spec((f, d)), _const_spec((1, d)), _const_spec((1, d)),
     ]
-    operands = [xf, row2(ln_scale), row2(ln_bias), w1q, row2(s1), row2(b1),
-                w2q, row2(s2), row2(b2)]
+    operands = [xf, _row2(ln_scale), _row2(ln_bias), w1q, _row2(s1),
+                _row2(b1), w2q, _row2(s2), _row2(b2)]
     if static_acts:
-        in_specs += [const((1, 1)), const((1, 1))]
-        operands += [row2(jnp.asarray(a_in)), row2(jnp.asarray(a_mid))]
+        in_specs += [_const_spec((1, 1)), _const_spec((1, 1))]
+        operands += [_row2(a_in), _row2(a_mid)]
 
     out = pl.pallas_call(
         functools.partial(_mlp_kernel, static_acts=static_acts),
@@ -203,9 +220,6 @@ def fused_ln_int8_matmul(x: jax.Array, ln_scale: jax.Array,
         xf = jnp.pad(xf, ((0, pad), (0, 0)))
     rows = xf.shape[0]
 
-    def row2(a):
-        return a.astype(jnp.float32).reshape(1, -1)
-
     out = pl.pallas_call(
         _ln_matmul_kernel,
         out_shape=jax.ShapeDtypeStruct((rows, o_dim), x.dtype),
@@ -231,7 +245,7 @@ def fused_ln_int8_matmul(x: jax.Array, ln_scale: jax.Array,
             bytes_accessed=rows * (d + o_dim) * 2 + d * o_dim,
             transcendentals=0,
         ),
-    )(xf, row2(ln_scale), row2(ln_bias), wq, row2(s), row2(b))
+    )(xf, _row2(ln_scale), _row2(ln_bias), wq, _row2(s), _row2(b))
     if pad:
         out = out[:m]
     return out.reshape(orig_shape[:-1] + (o_dim,))
@@ -266,8 +280,6 @@ def int8_matmul_residual(x: jax.Array, residual: jax.Array, wq: jax.Array,
         rf = jnp.pad(rf, ((0, pad), (0, 0)))
     rows = xf.shape[0]
 
-    def row2(a):
-        return a.astype(jnp.float32).reshape(1, -1)
 
     out = pl.pallas_call(
         _matmul_res_kernel,
@@ -294,7 +306,7 @@ def int8_matmul_residual(x: jax.Array, residual: jax.Array, wq: jax.Array,
             bytes_accessed=rows * (d_in + 2 * d_out) * 2 + d_in * d_out,
             transcendentals=0,
         ),
-    )(xf, rf, wq, row2(s), row2(b))
+    )(xf, rf, wq, _row2(s), _row2(b))
     if pad:
         out = out[:m]
     return out.reshape(residual.shape)
@@ -445,30 +457,25 @@ def fused_attention_block(x: jax.Array, ln_scale: jax.Array,
         sb_env = 0
     if sb_env > 0 and b % sb_env == 0:
         sb = sb_env
+    _check_act_scales(a_in=a_in, a_av=a_av)
     static_acts = a_in is not None
     static_smax = a_smax is not None
-
-    def row2(a):
-        return a.astype(jnp.float32).reshape(1, -1)
-
-    def const(shape):
-        return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
 
     in_specs = [
         pl.BlockSpec((sb, t, d), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        const((1, d)), const((1, d)),
-        const((d, 3 * d)), const((1, 3 * d)), const((1, 3 * d)),
-        const((d, d)), const((1, d)), const((1, d)),
+        _const_spec((1, d)), _const_spec((1, d)),
+        _const_spec((d, 3 * d)), _const_spec((1, 3 * d)), _const_spec((1, 3 * d)),
+        _const_spec((d, d)), _const_spec((1, d)), _const_spec((1, d)),
     ]
-    operands = [x, row2(ln_scale), row2(ln_bias), wqkv_q, row2(wqkv_s),
-                row2(bqkv), wo_q, row2(wo_s), row2(bo)]
+    operands = [x, _row2(ln_scale), _row2(ln_bias), wqkv_q, _row2(wqkv_s),
+                _row2(bqkv), wo_q, _row2(wo_s), _row2(bo)]
     if static_acts:
-        in_specs += [const((1, 1)), const((1, 1))]
-        operands += [row2(jnp.asarray(a_in)), row2(jnp.asarray(a_av))]
+        in_specs += [_const_spec((1, 1)), _const_spec((1, 1))]
+        operands += [_row2(a_in), _row2(a_av)]
     if static_smax:
-        in_specs += [const((1, 1))]
-        operands += [row2(jnp.asarray(a_smax))]
+        in_specs += [_const_spec((1, 1))]
+        operands += [_row2(a_smax)]
 
     kernel = functools.partial(_attn_block_kernel, num_heads=num_heads,
                                static_acts=static_acts, core=core,
@@ -559,27 +566,21 @@ def fused_int8_mlp_postln(x: jax.Array, w1q: jax.Array, s1: jax.Array,
     if pad:
         xf = jnp.pad(xf, ((0, pad), (0, 0)))
     rows = xf.shape[0]
+    _check_act_scales(a_x=a_x, a_gelu=a_gelu)
     static_acts = a_x is not None
-
-    def row2(a):
-        return a.astype(jnp.float32).reshape(1, -1)
-
-    def const(shape):
-        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
-                            memory_space=pltpu.VMEM)
 
     in_specs = [
         pl.BlockSpec((block_m, d), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
-        const((d, f)), const((1, f)), const((1, f)),
-        const((f, d)), const((1, d)), const((1, d)),
-        const((1, d)), const((1, d)),
+        _const_spec((d, f)), _const_spec((1, f)), _const_spec((1, f)),
+        _const_spec((f, d)), _const_spec((1, d)), _const_spec((1, d)),
+        _const_spec((1, d)), _const_spec((1, d)),
     ]
-    operands = [xf, w1q, row2(s1), row2(b1), w2q, row2(s2), row2(b2),
-                row2(ln_scale), row2(ln_bias)]
+    operands = [xf, w1q, _row2(s1), _row2(b1), w2q, _row2(s2), _row2(b2),
+                _row2(ln_scale), _row2(ln_bias)]
     if static_acts:
-        in_specs += [const((1, 1)), const((1, 1))]
-        operands += [row2(jnp.asarray(a_x)), row2(jnp.asarray(a_gelu))]
+        in_specs += [_const_spec((1, 1)), _const_spec((1, 1))]
+        operands += [_row2(a_x), _row2(a_gelu)]
 
     out = pl.pallas_call(
         functools.partial(_mlp_postln_kernel, static_acts=static_acts),
@@ -677,32 +678,26 @@ def fused_int8_diffusion_block(x: jax.Array, zc: jax.Array,
         xf = jnp.pad(xf, ((0, pad), (0, 0)))
         zf = jnp.pad(zf, ((0, pad), (0, 0)))
     rows = xf.shape[0]
+    _check_act_scales(a_z=a_z, a_h=a_h, a_silu=a_silu)
     static_acts = a_z is not None
-
-    def row2(a):
-        return a.astype(jnp.float32).reshape(1, -1)
-
-    def const(shape):
-        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
-                            memory_space=pltpu.VMEM)
 
     in_specs = [
         pl.BlockSpec((block_m, d), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((block_m, d), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
-        const((d, 3 * d)), const((1, 3 * d)), const((1, 3 * d)),
-        const((d, d)), const((1, d)), const((1, d)),
-        const((d, d)), const((1, d)), const((1, d)),
-        const((1, d)), const((1, d)),
+        _const_spec((d, 3 * d)), _const_spec((1, 3 * d)), _const_spec((1, 3 * d)),
+        _const_spec((d, d)), _const_spec((1, d)), _const_spec((1, d)),
+        _const_spec((d, d)), _const_spec((1, d)), _const_spec((1, d)),
+        _const_spec((1, d)), _const_spec((1, d)),
     ]
-    operands = [xf, zf, wstats_q, row2(stats_s), row2(stats_b),
-                w1q, row2(s1), row2(b1), w2q, row2(s2), row2(b2),
-                row2(n2_scale), row2(n2_bias)]
+    operands = [xf, zf, wstats_q, _row2(stats_s), _row2(stats_b),
+                w1q, _row2(s1), _row2(b1), w2q, _row2(s2), _row2(b2),
+                _row2(n2_scale), _row2(n2_bias)]
     if static_acts:
-        in_specs += [const((1, 1)), const((1, 1)), const((1, 1))]
-        operands += [row2(jnp.asarray(a_z)), row2(jnp.asarray(a_h)),
-                     row2(jnp.asarray(a_silu))]
+        in_specs += [_const_spec((1, 1)), _const_spec((1, 1)), _const_spec((1, 1))]
+        operands += [_row2(a_z), _row2(a_h),
+                     _row2(a_silu)]
 
     out = pl.pallas_call(
         functools.partial(_diffusion_block_kernel, static_acts=static_acts),

@@ -202,3 +202,62 @@ def test_flash_attention_static_outlier_clip():
     ref = sdpa(q, k, v)
     err = np.abs(np.asarray(out) - np.asarray(ref)).mean()
     assert err < 5e-2, err
+
+
+def test_rejects_or_broadcasts_mismatched_bias(qkv):
+    """Bias shapes that only BROADCAST to (Lq, Lk): a last dim of 1 is
+    materialized via broadcast_to (parity with sdpa); anything else raises
+    loudly instead of misaligning the kernel's BlockSpecs."""
+    q, k, v = qkv
+    lq, lk = q.shape[2], k.shape[2]
+    col = jax.random.normal(jax.random.PRNGKey(3), (1, 1, lq, 1))
+    out = run_flash(q, k, v, bias=col, blk_q=64, blk_k=64)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(sdpa(q, k, v, col)),
+                               atol=2e-3, rtol=2e-3)
+    with pytest.raises(ValueError, match="last dim"):
+        run_flash(q, k, v, bias=jnp.zeros((1, 1, lq, lk // 2)),
+                  blk_q=64, blk_k=64)
+
+
+def test_dispatcher_guards(monkeypatch):
+    """_use_pallas: trailing bias dims must MATCH (Lq, Lk); whole-length K/V
+    past the VMEM gate falls back to XLA instead of a Mosaic compile crash."""
+    from nova_pointcloud_tpu.ops import attention as attn_mod
+
+    monkeypatch.setattr(attn_mod.jax, "default_backend", lambda: "tpu")
+    q = jnp.zeros((2, 4, 2048, 64), jnp.bfloat16)
+    k = jnp.zeros((2, 4, 2048, 64), jnp.bfloat16)
+    assert attn_mod._use_pallas(q, k, None, "auto")
+    # broadcastable-but-mismatched biases -> sdpa
+    assert not attn_mod._use_pallas(q, k, jnp.zeros((1, 1, 2048, 1)), "auto")
+    assert not attn_mod._use_pallas(q, k, jnp.zeros((2, 1, 7, 2048)), "auto")
+    # matching key bias and full bias -> pallas
+    assert attn_mod._use_pallas(q, k, jnp.zeros((2, 1, 1, 2048)), "auto")
+    assert attn_mod._use_pallas(q, k, jnp.zeros((1, 1, 2048, 2048)), "auto")
+    # VMEM gate: 64k keys at d=64 would need ~32MB of resident K/V f32
+    long_k = jnp.zeros((1, 1, 65536, 64), jnp.bfloat16)
+    assert not attn_mod._use_pallas(q, long_k, None, "auto")
+
+
+def test_flax_attention_fn_keeps_user_bias_on_xla(monkeypatch):
+    """A user-supplied bias may be learnable; the pallas kernel's zero bias
+    cotangent would silently freeze it, so the flax adapter must not route
+    explicit biases to pallas even when every shape check passes."""
+    from nova_pointcloud_tpu.ops import attention as attn_mod
+
+    monkeypatch.setattr(attn_mod.jax, "default_backend", lambda: "tpu")
+    called = {}
+
+    def boom(*a, **kw):
+        called["pallas"] = True
+        raise AssertionError("pallas path must not be taken for user biases")
+
+    import nova_pointcloud_tpu.ops.pallas.flash_attention as fa_mod
+
+    monkeypatch.setattr(fa_mod, "flash_attention", boom)
+    fn = attn_mod.make_flax_attention_fn("auto")
+    B, L, H, D = 1, 1024, 2, 32
+    x = jnp.zeros((B, L, H, D), jnp.float32)
+    bias = jnp.zeros((B, 1, 1, L), jnp.float32)
+    out = fn(x, x, x, bias=bias, deterministic=True)
+    assert out.shape == (B, L, H, D) and "pallas" not in called

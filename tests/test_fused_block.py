@@ -558,3 +558,35 @@ def test_nova_encode_step_static_serving_close_to_dynamic(monkeypatch):
         z_s = np.asarray(enc({"params": p, "qparams": qps}), np.float32)
     rel = np.abs(z_s - z_d).mean() / np.abs(z_d).mean()
     assert rel < 5e-2, rel
+
+
+def test_partial_static_scales_raise_diagnosably():
+    """A partially-merged qparams tree (one calibration site never sown)
+    must raise a calibration-pointing ValueError, not an opaque
+    asarray(None) TypeError at trace time."""
+    import pytest
+
+    from nova_pointcloud_tpu.ops.pallas.fused_block import (
+        fused_attention_block, fused_int8_diffusion_block, fused_ln_int8_mlp)
+
+    d, f = 64, 128
+    x = jnp.zeros((4, 8, d), jnp.bfloat16)
+    xf = jnp.zeros((4, d), jnp.bfloat16)
+    w1 = jnp.zeros((d, f), jnp.int8)
+    w2 = jnp.zeros((f, d), jnp.int8)
+    ones_d, ones_f = jnp.ones((d,)), jnp.ones((f,))
+    with pytest.raises(ValueError, match="all-or-none"):
+        fused_ln_int8_mlp(xf, ones_d, ones_d, w1, ones_f, ones_f,
+                          w2, ones_d, ones_d, a_in=1.0, a_mid=None)
+    with pytest.raises(ValueError, match="all-or-none"):
+        fused_attention_block(x, ones_d, ones_d,
+                              jnp.zeros((d, 3 * d), jnp.int8),
+                              jnp.ones((3 * d,)), jnp.zeros((3 * d,)),
+                              jnp.zeros((d, d), jnp.int8), ones_d, ones_d,
+                              num_heads=2, a_in=None, a_av=2.0)
+    with pytest.raises(ValueError, match="all-or-none"):
+        fused_int8_diffusion_block(
+            xf, xf, jnp.zeros((d, 3 * d), jnp.int8), jnp.ones((3 * d,)),
+            jnp.zeros((3 * d,)), jnp.zeros((d, d), jnp.int8), ones_d, ones_d,
+            jnp.zeros((d, d), jnp.int8), ones_d, ones_d, ones_d, ones_d,
+            a_z=1.0, a_h=1.0, a_silu=None)
