@@ -40,9 +40,13 @@ class GuidanceConfig:
         return 1 if not self.enabled else (3 if self.extra_pass else 2)
 
     def decayed_scale(self, decay) -> jax.Array:
-        """Linear decay over AR progress (`guidance_scaler.py:42-44`)."""
-        lo = self.guidance_scale if self.min_guidance_scale is None \
-            else self.min_guidance_scale
+        """Linear decay over AR progress (`guidance_scaler.py:42-44`).
+
+        A falsy min_guidance_scale (None or 0) means NO decay, matching the
+        reference's ``kwargs.get("min_guidance_scale") or guidance_scale``
+        (`guidance_scaler.py:30`) — configs carrying min_guidance_scale=0
+        must not decay guidance toward zero."""
+        lo = self.min_guidance_scale or self.guidance_scale
         return (self.guidance_scale - lo) * decay + lo
 
     # -- batch expansion ----------------------------------------------------
@@ -74,7 +78,6 @@ class GuidanceConfig:
     def _renorm(self, x: jax.Array, cond: jax.Array) -> jax.Array:
         if self.guidance_renorm >= 1.0:
             return x
-        axes = tuple(range(1, x.ndim))
         nx = jnp.linalg.norm(x.reshape(x.shape[0], -1), axis=-1)
         nc = jnp.linalg.norm(cond.reshape(cond.shape[0], -1), axis=-1)
         clamp = jnp.clip(nc / (nx + 1e-12), self.guidance_renorm, 1.0)

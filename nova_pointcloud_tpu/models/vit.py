@@ -120,7 +120,11 @@ class Attention(nn.Module):
         smax = self.get_variable("qparams", "a_smax", None)
         key_bias = (bias is None or (bias.ndim == 4 and bias.shape[1] == 1
                                      and bias.shape[2] == 1))
-        if use_int8 and smax is not None and cache is None and key_bias:
+        # The calibrated static-softmax kernel only engages when the impl
+        # policy allows Pallas: attn_impl="xla" stays a working escape hatch
+        # after calibrate(), and "ring:*" keeps its sharded dispatcher.
+        if (use_int8 and smax is not None and cache is None and key_bias
+                and self.attn_impl in ("auto", "pallas")):
             from nova_pointcloud_tpu.ops.pallas.flash_attention import (
                 flash_attention_static)
 
@@ -346,6 +350,12 @@ class VisionTransformer(nn.Module):
             # mask ratios >= 0.7 => <= 0.3N visible), padded lanes are biased
             # out of the keys, and outputs scatter back — numerically equal
             # to the masking path, ~(N/bucket)x fewer encoder-half FLOPs.
+            # INVARIANT (caller-enforced, tests/test_mae_gather.py): the
+            # per-sample visible count never exceeds visible_bucket; tokens
+            # beyond the bucket would silently bypass the encoder half.
+            # Both call sites guarantee it by construction — the sampler's
+            # searchsorted phase plan (pipelines/nova.py) and the train
+            # bucket round((1-TRAIN_MASK_RATIO_MIN)*Ni) (models/nova.py).
             k = visible_bucket
             b, n = visible.shape
             order = jnp.argsort(1.0 - visible, axis=1, stable=True)

@@ -97,11 +97,19 @@ def pred_slice(order: jax.Array, start: jax.Array, count: jax.Array,
     Returns (ids (B, P) int32, valid (B, P) float32). Invalid lanes point at
     the *first* id of the slice so scatters stay in-bounds; their writes are
     masked by ``valid``. ``pad_count`` is static.
+
+    Indices are clamped PER LANE, not per window: a whole-window clamp
+    (dynamic_slice at start = N - pad_count) silently shifts the final AR
+    step's slice when pad_count > count — e.g. at the t2i defaults (S=64,
+    N=256) the cosine counts give max 7 / last 6, so order[255] was never
+    predicted (a permanently-zero canvas patch) and order[249] was denoised
+    twice. Valid lanes always satisfy start + lane < N because the counts
+    sum to N; only padding lanes hit the clamp.
     """
     batch, num_tokens = order.shape
-    start = jnp.clip(start, 0, num_tokens - pad_count)
-    ids = jax.lax.dynamic_slice(order, (0, start), (batch, pad_count))
     lane = jax.lax.broadcasted_iota(jnp.int32, (batch, pad_count), 1)
+    idx = jnp.minimum(jnp.asarray(start, jnp.int32) + lane, num_tokens - 1)
+    ids = jnp.take_along_axis(order, idx, axis=1)
     valid = (lane < count).astype(jnp.float32)
     ids = jnp.where(lane < count, ids, ids[:, :1])
     return ids, valid

@@ -76,6 +76,11 @@ class NOVAPipeline:
             lambda p, b, flow, fps: model.apply(
                 {"params": p}, b, flow, fps, method=model.embed_motion),
             static_argnums=(1,))
+        if vae is not None:
+            def _enc(p, x, k):
+                dist = vae.apply({"params": p}, x, method=vae.encode)
+                return vae.scale(dist.sample(k))
+            self._encode_image = jax.jit(_enc)
 
     # -- prompt handling ------------------------------------------------------
     def encode_prompt(self, prompt: Sequence[str], negative_prompt=None,
@@ -101,12 +106,14 @@ class NOVAPipeline:
         """Encode an image prompt to scaled latents (`pipeline_nova.py:222-239`).
 
         image: (H, W, 3) uint8 -> (N, h, w, C) latents for the i2v prefill.
+        The posterior is SAMPLED like the reference (`latent_dist.sample`),
+        with a fixed key when none is given so the call stays deterministic;
+        the whole encode is one jitted program (eager dispatch is ~50ms/op
+        on this host).
         """
         x = jnp.asarray(image, jnp.float32) / 127.5 - 1.0
-        dist = self.vae.apply({"params": self.image_processor.vae_params},
-                              x[None], method=self.vae.encode)
-        z = dist.sample(key) if key is not None else dist.mode()
-        z = self.vae.scale(z)
+        key = key if key is not None else jax.random.PRNGKey(0)
+        z = self._encode_image(self.image_processor.vae_params, x[None], key)
         return jnp.repeat(z, num_images_per_prompt, axis=0)
 
     # -- sampler construction --------------------------------------------------
@@ -483,7 +490,6 @@ class NOVAPipeline:
             # attention core stays dynamic — the a_smax sow is cache-gated
             # — and the 2-frame time table's range transfer to longer T
             # rides the clip margin.)
-            from nova_pointcloud_tpu.models.embeddings import unpatchify
             nv, text_len = model.num_video_tokens, c.shape[1]
 
             @jax.jit
@@ -548,7 +554,7 @@ class NOVAPipeline:
         latents: Optional[jax.Array] = None,
         prompt_embeds: Optional[np.ndarray] = None,
         output_type: str = "latent",
-        motion_flow: Optional[float] = None,
+        motion_flow: Optional[float] = 5.0,
         fps: Optional[float] = None,
     ) -> NOVAPipelineOutput:
         if isinstance(prompt, str):
@@ -562,9 +568,19 @@ class NOVAPipeline:
             min_guidance_scale=min_guidance_scale)
         c = self.encode_prompt(prompt, negative_prompt, guidance,
                                num_images_per_prompt, prompt_embeds)
-        if motion_flow is not None and max_latent_length > 1:
+        if (motion_flow is not None and self.model.video_base_size[0] > 1
+                and "motion_embed" in self.params):
             # motion flow/fps conditioning tokens appended to the text
-            # prefix (`transformer_3d.py:74-76`, app_nova_t2v.py:155)
+            # prefix (`transformer_3d.py:74-76`, app_nova_t2v.py:155).
+            # Defaults to 5 like the reference (`pipeline_nova.py:67`):
+            # video checkpoints are trained WITH motion conditioning, so
+            # omitting it would serve out-of-distribution. Gated on the
+            # MODEL being a video model — the reference appends motion
+            # whenever `self.motion_embed` exists (`transformer_3d.py:73`),
+            # even for a 1-frame render; image models never have it — AND
+            # on the params actually carrying the embed (flax materializes
+            # it only for checkpoints trained with motion conditioning).
+            # Pass None to disable explicitly.
             nb = c.shape[0]
             m = self._embed_motion(
                 self.params, nb,

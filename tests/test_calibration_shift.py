@@ -129,6 +129,7 @@ def test_calibration_is_stable_across_seeds():
             assert hi <= _amax_bound(name), (name, hi)
 
 
+@pytest.mark.full
 def test_video_calibration_covers_kv_path():
     """max_latent_length>1 runs a KV-cached encode_frame step during
     calibration (VERDICT r3 next #3c): the sampler must serve T>1 with the

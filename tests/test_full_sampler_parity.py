@@ -133,21 +133,29 @@ class _InjectRNG:
 
 
 def _ref_generate(ref, c2b_raw, frames, image_gs=0.0, prefill=None):
-    """Drive the reference's generate_video verbatim (model-level API; the
-    pipeline wrapper only assembles this dict, `pipeline_nova.py:127-139`)."""
+    """Drive the reference's preprocess + generate_video verbatim (the
+    pipeline wrapper only assembles this dict, `pipeline_nova.py:127-139`).
+
+    ``preprocess`` is what appends the motion-flow/fps tokens for video
+    models (`transformer_3d.py:73-76`): the reference pipeline passes
+    motion_flow=5 per cond row unconditionally (`pipeline_nova.py:138`),
+    and preprocess doubles the list under CFG. Driving it here keeps the
+    text prefix identical to our pipeline's default-motion path."""
     ni = 16
     mask_ratios = np.cos(0.5 * np.pi * np.arange(S + 1) / S)
     mask_length = np.round(mask_ratios * ni).astype("int64")
     with torch.no_grad():
-        c = ref.text_embed(torch.as_tensor(c2b_raw))
         inputs = {
-            "x": torch.zeros(B, 4, 8, 8), "c": c, "guidance_scale": GS,
+            "x": torch.zeros(B, 4, 8, 8),
+            "prompt": torch.as_tensor(c2b_raw),
+            "motion_flow": [5.0] * B, "guidance_scale": GS,
             "num_preds": (mask_length[:-1] - mask_length[1:]).tolist(),
             "max_latent_length": frames, "num_diffusion_steps": D,
             "generator": None, "tqdm1": False, "tqdm2": False,
             "image_guidance_scale": image_gs,
             "latents": [] if prefill is None else [torch.as_tensor(prefill)],
         }
+        ref.preprocess(inputs)
         ref.generate_video(inputs)
     return np.stack([lat.numpy() for lat in inputs["latents"]], axis=1)
 

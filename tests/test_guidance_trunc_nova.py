@@ -76,6 +76,7 @@ def test_trunc_zero_is_identity():
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.full
 def test_trunc_split_video():
     """The split nests inside the per-frame generate_frame of the temporal
     AR scan (KV caches + mixer); T=2 video latents must match the select

@@ -1,6 +1,7 @@
 """KV-cache correctness: cached frame-by-frame == teacher-forced block-causal."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -42,6 +43,7 @@ def test_cached_decode_matches_block_causal():
                                atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.full
 def test_cached_decode_matches_block_causal_t9():
     """Same equivalence at osp480's frame count (T=9, `nova_d48w1024_osp480`:
     video_base_size [9, 15, 24]) — the full-scale video configuration."""

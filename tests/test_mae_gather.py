@@ -44,3 +44,36 @@ def test_gather_bucket_full_size_noop():
     a, _ = vit.apply({"params": params}, x, visible=visible)
     c, _ = vit.apply({"params": params}, x, visible=visible, visible_bucket=8)
     np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-6)
+
+
+def test_bucket_invariant_holds_at_both_call_sites():
+    """The gather path silently drops visible tokens if nvis > bucket
+    (models/vit.py invariant note) — pin that both callers bound it.
+
+    Sampler: at AR step i the visible count is starts[i]; the searchsorted
+    phase plan must give starts[i] <= bucket inside every phase.
+    Training: num_visible = round((1-ratio)*N) with ratio >= 0.7 must stay
+    <= the train bucket round(0.3*N) for every sampled ratio.
+    """
+    from nova_pointcloud_tpu.ops import masking
+
+    # sampler phase plan (mirror of pipelines/nova.py:163-176)
+    for S, ni in [(64, 256), (16, 64), (25, 128), (64, 3240), (32, 1024)]:
+        counts = masking.cosine_pred_counts(S, ni)
+        starts, _ = masking.pred_boundaries(counts)
+        s_cur = 0
+        for frac in (8, 4, 2):
+            bucket = ni // frac
+            end = int(np.searchsorted(starts, bucket, side="right"))
+            if end > s_cur:
+                assert starts[end - 1] <= bucket, (S, ni, frac)
+                s_cur = end
+
+    # training bucket (mirror of models/nova.py:374)
+    for ni in (64, 256, 3240):
+        bucket = int(round((1.0 - masking.TRAIN_MASK_RATIO_MIN) * ni))
+        for seed in range(50):
+            mask, _ = masking.sample_train_mask(
+                jax.random.PRNGKey(seed), 2, ni)
+            nvis = int((1.0 - np.asarray(mask)).sum(axis=(1, 2)).max())
+            assert nvis <= bucket, (ni, seed, nvis, bucket)

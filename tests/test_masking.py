@@ -79,3 +79,30 @@ def test_visibility_bias():
     assert bias.shape == (1, 1, 1, 6)
     b = np.asarray(bias[0, 0, 0])
     assert np.all(b[:2] == 0) and b[2] == 0 and np.isinf(b[3]) and b[4] == 0
+
+
+def test_pred_slices_cover_every_token_exactly_once():
+    """Every AR step's slice must be exactly order[start:start+count] — a
+    whole-window clamp in pred_slice used to shift the FINAL step when its
+    count < pad_count (t2i defaults S=64, N=256: one token never predicted,
+    one denoised twice)."""
+    from nova_pointcloud_tpu.ops import masking
+
+    for num_steps, n in [(64, 256), (16, 64), (25, 128), (64, 3240), (4, 7)]:
+        counts = masking.cosine_pred_counts(num_steps, n)
+        assert counts.sum() == n
+        starts, pad_p = masking.pred_boundaries(counts)
+        order = masking.random_pred_order(jax.random.PRNGKey(0), 2, n)
+        seen = np.zeros((2, n), np.int32)
+        for i in range(num_steps):
+            ids, valid = masking.pred_slice(order, jnp.asarray(starts[i]),
+                                            jnp.asarray(int(counts[i])), pad_p)
+            ids, valid = np.asarray(ids), np.asarray(valid)
+            for b in range(2):
+                v = valid[b] > 0
+                assert v.sum() == counts[i]
+                np.testing.assert_array_equal(
+                    np.sort(ids[b][v]),
+                    np.sort(np.asarray(order)[b, starts[i]:starts[i] + counts[i]]))
+                seen[b, ids[b][v]] += 1
+        assert (seen == 1).all(), f"S={num_steps} N={n}: coverage {seen.min()}..{seen.max()}"

@@ -1,6 +1,7 @@
 """Tests for the masked-AR point-cloud model + pipeline."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 import optax
@@ -26,6 +27,7 @@ def make_model(scheduler=None):
     return model, params
 
 
+@pytest.mark.full
 def test_train_loss_finite_and_decreases():
     model, params = make_model()
     key = jax.random.PRNGKey(0)

@@ -1,6 +1,7 @@
 """End-to-end tests for the point-cloud model + generation pipeline."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 import optax
@@ -103,6 +104,7 @@ class TestPipeline:
                  guidance_scale=3.0, key=jax.random.PRNGKey(0)).point_clouds
         assert np.abs(a - b).max() > 1e-4
 
+    @pytest.mark.full
     def test_guidance_trunc_matches_select_oracle(self):
         """Half-batch truncation == full-batch select (`guidance_scaler.py:59-65`).
 

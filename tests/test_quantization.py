@@ -54,3 +54,20 @@ def test_quantized_model_close_to_bf16():
     rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
     assert rel < 0.1, rel
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_attn_impl_xla_escape_hatch_survives_calibration(monkeypatch):
+    """attn_impl="xla" must keep routing around the Pallas kernel even once
+    calibrated scales (qparams a_smax) are present — it is the documented
+    escape hatch for Pallas miscompiles. On CPU the static kernel would
+    raise, so this test fails if the dispatch ever hijacks the override."""
+    from nova_pointcloud_tpu.models.vit import Attention
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 32))
+    attn = Attention(32, 2, attn_impl="xla", quantize=True)
+    params = jax.jit(attn.init)(jax.random.PRNGKey(1), x)["params"]
+    qparams = {"a_smax": jnp.float32(4.0),
+               "a_q": jnp.float32(1.0), "a_k": jnp.float32(1.0)}
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    out, _ = attn.apply({"params": params, "qparams": qparams}, x)
+    assert np.isfinite(np.asarray(out)).all()

@@ -76,6 +76,7 @@ def test_block_causal_via_bias_fn(mesh):
                                atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.full
 def test_grad_flows(mesh):
     """Differentiable: collective-permute transposes cleanly in reverse."""
     q, k, v = _qkv(l=32, seed=7)
@@ -127,6 +128,7 @@ def test_dispatcher_ring_falls_back_without_mesh():
                                atol=2e-6, rtol=2e-6)
 
 
+@pytest.mark.full
 def test_vit_train_step_with_ring_attention(mesh):
     """A ViT block-stack TRAIN step (loss + grads) with attn_impl="ring"
     under the sequence mesh matches the sdpa run — SP training is usable,

@@ -8,6 +8,7 @@ single-device sampler — the sharding changes the schedule, not the math.
 """
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -64,6 +65,7 @@ def test_t2pc_sharded_params_are_actually_distributed():
     assert any("tensor" in str(s) for s in specs), specs
 
 
+@pytest.mark.full
 def test_t2i_sampler_sharded_matches_unsharded():
     from nova_pointcloud_tpu.pipelines.nova import NOVAPipeline
     from nova_pointcloud_tpu.schedulers import FlowMatchEulerScheduler
