@@ -37,7 +37,48 @@ def count(fn):
     return m.get_total_flops()
 
 
+def measure_train():
+    """Reference t2i TRAIN-step FLOPs at the bench workload (d48w1024,
+    sd512-class 32x32 patches, loss_repeat=4).
+
+    Builds the reference's own NOVATransformer3DModel
+    (`transformer_nova.py:56-103`) in train mode and counts one full
+    training forward (`transformer_3d.py:165-190`: TAM over the bos frame,
+    MAM over masked canvas tokens, loss_repeat x diffusion MLP + MSE).
+    Backward is credited at the standard 2x forward, so
+    train TFLOP/sample = 3 x forward. The result seeds
+    bench.py's TRAIN_REF_TFLOP_PER_SAMPLE constant.
+    """
+    from diffnext.models.transformers import transformer_nova as tn
+    from diffnext.schedulers.scheduling_cfm import (
+        FlowMatchEulerDiscreteScheduler)
+
+    torch.manual_seed(0)
+    model = tn.NOVATransformer3DModel(
+        image_dim=4, image_size=512, image_stride=8,
+        text_token_dim=256, text_token_len=32,
+        image_base_size=(32, 32), video_base_size=(1, 16, 16),
+        arch=("vit_d16w1024", "vit_d32w1024", "mlp_d6w1024")).train()
+    model.noise_scheduler = FlowMatchEulerDiscreteScheduler(shift=1.0)
+    n_params = sum(p.numel() for p in model.parameters())
+
+    def step():
+        # forward mutates its inputs dict/tensors (x.unsqueeze_); use fresh
+        x = torch.randn(1, 4, 64, 64)
+        c = torch.randn(1, 32, 1024)
+        model({"x": x, "c": [c]})
+
+    fwd = count(step)
+    total = 3 * fwd  # fwd + bwd(2x); optimizer update is negligible
+    print(f"\n[t2i train d48w1024] params={n_params/1e6:.1f}M "
+          f"fwd={fwd/1e9:.2f} GFLOP  train(3x)={total/1e12:.4f} TFLOP/sample")
+    h100 = 989.5e12 * 0.6
+    print(f"H100 @60% MFU eager: {h100/total:.1f} samples/s")
+
+
 def main():
+    if "--train" in sys.argv:
+        return measure_train()
     from diffnext.models.diffusion_mlp import DiffusionMLP
     from diffnext.models.vision_transformer import VisionTransformer
 
