@@ -68,16 +68,23 @@ T2I_H100_EST_IMAGES_PER_SEC = 4.27
 T2V_REF_TFLOP_PER_VIDEO = 1951.9
 T2V_H100_EST_VIDEOS_PER_SEC = 0.304  # 3.29 s/video
 
-# t2i TRAIN-step cost model (scripts/measure_reference_flops.py --train:
+# TRAIN-step cost models (scripts/measure_reference_flops.py --train:
 # FlopCounterMode on the reference's own NOVATransformer3DModel d48w1024
-# in train mode at the sd512-class bench shapes — TAM + MAM + loss_repeat=4
-# diffusion MLP, `transformer_3d.py:165-190`): fwd 1155.1 GFLOP/sample,
-# train = 3x fwd (bwd credited at 2x) = 3.465 TFLOP/sample. Same 60% eager
-# H100 MFU credit as the sampling baselines (generous: the reference trains
-# eager DeepSpeed ZeRO-2 bf16 with grad checkpointing, which REPLAYS the
+# in train mode at the bench shapes — TAM + MAM + loss_repeat=4 diffusion
+# MLP, `transformer_3d.py:165-190`). Train-mode MaskEmbed MAE-gathers only
+# the visible encoder tokens, so per-sample FLOPs depend on the truncnorm
+# mask-ratio draw — the figures are MEANS over seeded draws (8 for t2i, 3
+# for t2v). train = 3x fwd (bwd credited at 2x); same 60% eager H100 MFU
+# credit as the sampling baselines (generous: the reference trains eager
+# DeepSpeed ZeRO-2 bf16 with grad checkpointing, which REPLAYS the
 # forward — its real cost is 4x fwd).
-TRAIN_T2I_REF_TFLOP_PER_SAMPLE = 3.465
-TRAIN_T2I_H100_EST_SAMPLES_PER_SEC = 171.3
+#   t2i sd512-class: fwd 1078.7 GFLOP -> 3.236 TFLOP/sample
+TRAIN_T2I_REF_TFLOP_PER_SAMPLE = 3.236
+TRAIN_T2I_H100_EST_SAMPLES_PER_SEC = 183.5
+#   t2v osp480-class 9 latent frames (block-causal TAM + per-frame MAM):
+#     fwd 13362.4 GFLOP -> 40.087 TFLOP/sample
+TRAIN_T2V_REF_TFLOP_PER_SAMPLE = 40.087
+TRAIN_T2V_H100_EST_SAMPLES_PER_SEC = 14.81
 
 
 def _last_json_line(text):
@@ -201,6 +208,11 @@ def main():
                          "(ops/pallas/fused_block._attn_core_head): bf16 "
                          "default (2x MXU rate vs round-3 f32), int8 for "
                          "the 4x-rate A/B")
+    ap.add_argument("--train-arch", choices=("t2i", "t2v"), default="t2i",
+                    help="--mode train flavor: t2i = sd512-class d48w1024 "
+                         "(reference per-GPU batch 8), t2v = osp480-class "
+                         "9-latent-frame video step (reference per-GPU "
+                         "batch 3, configs/nova_d48w1024_osp480.yaml)")
     ap.add_argument("--e2e", action="store_true",
                     help="t2i/t2v: full serving envelope incl. on-chip VAE "
                          "decode + uint8 postprocess (the reference "
@@ -637,19 +649,26 @@ def bench_t2v(args):
 
 
 def bench_train(args):
-    """Training-step throughput: NOVA d48w1024 sd512-class t2i TRAIN step
-    (TAM + MAM + loss_repeat=4 diffusion losses, fwd+bwd+AdamW, remat on the
-    scanned stacks), one chip, reference per-GPU batch 8
-    (`configs/nova_d48w1024_sdxl1024.yaml` bs=8 x128 accum).
+    """Training-step throughput (one chip, fwd+bwd+AdamW, remat on the
+    scanned stacks), at the reference's own per-GPU batch:
+
+    - --train-arch t2i: NOVA d48w1024 sd512-class step (TAM + MAM +
+      loss_repeat=4 diffusion losses), batch 8
+      (`configs/nova_d48w1024_sdxl1024.yaml` bs=8 x128 accum).
+    - --train-arch t2v: osp480-class 9-latent-frame video step (block-causal
+      TAM over bos+frames, AdaLN mixer, motion conditioning), batch 3
+      (`configs/nova_d48w1024_osp480.yaml` bs=3 x128 accum).
 
     The step measured is the exact `engine/trainer.py` jitted step the real
     train entry uses (`scripts/train.py`), fed the records-loader batch
-    layout (fp16 VAE moments + caption embeds, data/records.py)."""
+    layout (fp16 VAE moments + caption embeds [+ motion_flow/fps],
+    data/records.py)."""
     from nova_pointcloud_tpu.engine.lr_schedules import constant_lr
     from nova_pointcloud_tpu.engine.optim import build_optimizer
     from nova_pointcloud_tpu.models.nova import NOVATransformer
     from nova_pointcloud_tpu.pipelines.builder import init_transformer
-    from nova_pointcloud_tpu.pipelines.train_nova import NOVATrainT2IPipeline
+    from nova_pointcloud_tpu.pipelines.train_nova import (
+        NOVATrainT2IPipeline, NOVATrainT2VPipeline)
     from nova_pointcloud_tpu.schedulers import FlowMatchEulerScheduler
 
     if args.dry_run:
@@ -658,15 +677,35 @@ def bench_train(args):
         except Exception:
             pass
     on_tpu = jax.default_backend() == "tpu"
-    batch = args.batch if args.batch != 64 else (2 if args.dry_run else 8)
+    video = args.train_arch == "t2v"
+    if args.batch != 64:
+        batch = args.batch
+    elif args.dry_run:
+        batch = 1 if video else 2
+    else:
+        batch = 3 if video else 8  # the reference configs' per-GPU batch
     scheduler = FlowMatchEulerScheduler()
     if args.dry_run:
         args.repeats = 1
         model = NOVATransformer(
             arch=("vit_d2w64", "vit_d2w64", "mlp_d2w64"),
-            image_dim=4, image_base_size=(4, 4), video_base_size=(1, 2, 2),
+            image_dim=4, image_base_size=(4, 4),
+            video_base_size=(3, 2, 2) if video else (1, 2, 2),
+            video_mixer_rank=8 if video else None,
             patch_size=2, text_token_dim=256, text_token_len=32,
             noise_scheduler=scheduler)
+    elif video:
+        # osp480 geometry (configs/nova_d48w1024_osp480.yaml): 9 latent
+        # frames of 60x96 latents; RoPE + rank-24 AdaLN mixer. text token
+        # shapes match the FLOP-measurement model (measure_reference_flops).
+        model = NOVATransformer(
+            arch=("vit_d16w1024", "vit_d32w1024", "mlp_d6w1024"),
+            image_dim=4, image_base_size=(30, 48),
+            video_base_size=(9, 15, 24), rotary_pos_embed=True,
+            video_mixer_rank=24,
+            patch_size=2, text_token_dim=256, text_token_len=32,
+            noise_scheduler=scheduler, remat=True,
+            dtype=jnp.bfloat16 if on_tpu else None)
     else:
         model = NOVATransformer(
             arch=("vit_d16w1024", "vit_d32w1024", "mlp_d6w1024"),
@@ -678,24 +717,30 @@ def bench_train(args):
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     optimizer = build_optimizer(params, constant_lr(1e-4),
                                 weight_decay=0.02, betas=(0.9, 0.95))
-    pipe = NOVATrainT2IPipeline(
+    pipe_cls = NOVATrainT2VPipeline if video else NOVATrainT2IPipeline
+    pipe = pipe_cls(
         model, params, optimizer=optimizer, output_dir=None,
         ema_decay=None, resume=False)
     trainer = pipe.trainer
     h, w = model.latent_hw
+    t_frames = model.video_base_size[0] if video else None
+    lat_shape = ((batch, t_frames, h, w, model.image_dim) if video
+                 else (batch, h, w, model.image_dim))
     rng = np.random.default_rng(0)
     data = {
         # records layout: fp16 cached VAE moments (mean, logvar)
         "moments": jnp.asarray(np.concatenate(
-            [rng.standard_normal((batch, h, w, model.image_dim)) * 0.8,
-             np.full((batch, h, w, model.image_dim), -6.0)],
-            axis=-1).astype(np.float16)),
+            [rng.standard_normal(lat_shape) * 0.8,
+             np.full(lat_shape, -6.0)], axis=-1).astype(np.float16)),
         "text_embeds": jnp.asarray(rng.standard_normal(
             (batch, model.text_token_len, model.text_token_dim))
             .astype(np.float32)),
     }
-    print(f"# train-t2i d48w1024 params={n_params/1e6:.1f}M batch={batch} "
-          f"remat={model.remat}", file=sys.stderr)
+    if video:
+        data["motion_flow"] = jnp.full((batch,), 5.0, jnp.float32)
+        data["fps"] = jnp.full((batch,), 12.0, jnp.float32)
+    print(f"# train-{args.train_arch} d48w1024 params={n_params/1e6:.1f}M "
+          f"batch={batch} remat={model.remat}", file=sys.stderr)
 
     params_t, opt_state = trainer.params, trainer.opt_state
     key = jax.random.PRNGKey(0)
@@ -729,21 +774,26 @@ def bench_train(args):
         xla_flops = float(ca["flops"]) if ca and "flops" in ca else None
     except Exception as e:  # the axon relay may not expose cost analysis
         print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
-    achieved_ref = TRAIN_T2I_REF_TFLOP_PER_SAMPLE * sps
+    ref_tflop = (TRAIN_T2V_REF_TFLOP_PER_SAMPLE if video
+                 else TRAIN_T2I_REF_TFLOP_PER_SAMPLE)
+    ref_sps = (TRAIN_T2V_H100_EST_SAMPLES_PER_SEC if video
+               else TRAIN_T2I_H100_EST_SAMPLES_PER_SEC)
+    achieved_ref = ref_tflop * sps
     achieved_xla = xla_flops / 1e12 / p50 if xla_flops else None
     print(f"# compile={compile_s:.1f}s p50_step={p50*1000:.0f}ms "
           f"loss0={loss0:.3f} loss={loss:.3f}", file=sys.stderr)
     print(json.dumps({
-        "metric": "t2i_train_0.6B_samples_per_sec_per_chip",
+        "metric": f"{args.train_arch}_train_0.6B_samples_per_sec_per_chip",
         "value": round(sps, 2), "unit": "samples/sec/chip",
-        "vs_baseline": round(sps / TRAIN_T2I_H100_EST_SAMPLES_PER_SEC, 3),
+        "vs_baseline": round(sps / ref_sps, 3),
         "baseline_note": "H100 est. for the reference train step (measured "
-                         "3.465 TFLOP/sample via torch FlopCounterMode on "
-                         "the reference model in train mode, 60% eager MFU "
-                         "credit; scripts/measure_reference_flops.py "
-                         "--train). An H100 has 5x a v5e chip's peak; see "
-                         "mfu fields for the efficiency comparison.",
-        "tflop_per_sample_ref": TRAIN_T2I_REF_TFLOP_PER_SAMPLE,
+                         f"{ref_tflop} TFLOP/sample via torch "
+                         "FlopCounterMode on the reference model in train "
+                         "mode, mean over mask draws, 60% eager MFU credit; "
+                         "scripts/measure_reference_flops.py --train). An "
+                         "H100 has 5x a v5e chip's peak; see mfu fields for "
+                         "the efficiency comparison.",
+        "tflop_per_sample_ref": ref_tflop,
         "achieved_tflop_s_ref_equiv": round(achieved_ref, 1),
         "xla_tflop_per_step": (round(xla_flops / 1e12, 3)
                                if xla_flops else None),

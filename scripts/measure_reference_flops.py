@@ -18,6 +18,11 @@ embedded as constants in bench.py with the derivation in its docstring.
 import os
 import sys
 
+# the reference's RotaryEmbed3D.call_impl is @torch.compile'd
+# (embeddings.py:36), which breaks under FlopCounterMode's dispatch mode —
+# run everything eager for counting
+os.environ.setdefault("TORCHDYNAMO_DISABLE", "1")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
@@ -49,10 +54,15 @@ def measure_train():
     train TFLOP/sample = 3 x forward. The result seeds
     bench.py's TRAIN_REF_TFLOP_PER_SAMPLE constant.
     """
+    import numpy as np
     from diffnext.models.transformers import transformer_nova as tn
     from diffnext.schedulers.scheduling_cfm import (
         FlowMatchEulerDiscreteScheduler)
 
+    # the train MAE mask ratio comes from scipy's GLOBAL numpy RNG
+    # (embeddings.py truncnorm .rvs) and the encoder gathers only visible
+    # tokens, so per-call FLOPs vary with the draw — seed and AVERAGE
+    np.random.seed(0)
     torch.manual_seed(0)
     model = tn.NOVATransformer3DModel(
         image_dim=4, image_size=512, image_stride=8,
@@ -68,12 +78,40 @@ def measure_train():
         c = torch.randn(1, 32, 1024)
         model({"x": x, "c": [c]})
 
-    fwd = count(step)
+    # train-mode MaskEmbed returns (masked_x, prev_ids): the encoder half
+    # MAE-gathers only the visible tokens, so per-call FLOPs depend on the
+    # sampled mask ratio — report the mean over draws
+    fwd = float(np.mean([count(step) for _ in range(8)]))
     total = 3 * fwd  # fwd + bwd(2x); optimizer update is negligible
     print(f"\n[t2i train d48w1024] params={n_params/1e6:.1f}M "
-          f"fwd={fwd/1e9:.2f} GFLOP  train(3x)={total/1e12:.4f} TFLOP/sample")
+          f"fwd={fwd/1e9:.2f} GFLOP (mean of 8 mask draws)  "
+          f"train(3x)={total/1e12:.4f} TFLOP/sample")
     h100 = 989.5e12 * 0.6
     print(f"H100 @60% MFU eager: {h100/total:.1f} samples/s")
+
+    # t2v osp480 train step: 9 latent frames, TAM over bos+8 frames with
+    # block-causal mask + AdaLN mixer, MAM/diffusion per frame
+    # (`transformer_3d.py:165-190`). Motion-embed tokens are a negligible
+    # few-token MLP and are omitted here.
+    model_v = tn.NOVATransformer3DModel(
+        image_dim=4, image_size=(480, 768), image_stride=8,
+        text_token_dim=256, text_token_len=32,
+        image_base_size=(30, 48), video_base_size=(9, 15, 24),
+        rotary_pos_embed=True, video_mixer_rank=24,
+        arch=("vit_d16w1024", "vit_d32w1024", "mlp_d6w1024")).train()
+    model_v.noise_scheduler = FlowMatchEulerDiscreteScheduler(shift=1.0)
+
+    def step_v():
+        x = torch.randn(1, 4, 9, 60, 96)
+        c = torch.randn(1, 32, 1024)
+        model_v({"x": x, "c": [c]})
+
+    fwd_v = float(np.mean([count(step_v) for _ in range(3)]))
+    total_v = 3 * fwd_v
+    print(f"[t2v train d48w1024-osp480 9fr] fwd={fwd_v/1e9:.2f} GFLOP "
+          f"(mean of 3 mask draws)  "
+          f"train(3x)={total_v/1e12:.4f} TFLOP/sample")
+    print(f"H100 @60% MFU eager: {h100/total_v:.2f} samples/s")
 
 
 def main():

@@ -42,6 +42,17 @@ def test_bench_train_dry_run_emits_json():
     assert data["p50_step_ms"] > 0
 
 
+def test_bench_train_t2v_dry_run_emits_json():
+    out = run([sys.executable, "bench.py", "--mode", "train",
+               "--train-arch", "t2v", "--dry-run"])
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    data = json.loads(line)
+    assert data["metric"] == "t2v_train_0.6B_samples_per_sec_per_chip"
+    assert data["value"] > 0 and data["vs_baseline"] > 0
+    assert data["p50_step_ms"] > 0
+
+
 def test_graft_entry_forward():
     out = run([sys.executable, "__graft_entry__.py"])
     assert out.returncode == 0, out.stderr[-2000:]
