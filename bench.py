@@ -213,6 +213,12 @@ def main():
                          "(reference per-GPU batch 8), t2v = osp480-class "
                          "9-latent-frame video step (reference per-GPU "
                          "batch 3, configs/nova_d48w1024_osp480.yaml)")
+    ap.add_argument("--offload-opt-state", action="store_true",
+                    help="--mode train: park the Adam moments in pinned "
+                         "HOST memory (ZeRO-Offload analogue; fits fp32 "
+                         "Adam for the 1.4B d48w1536 config on one 16GB "
+                         "chip). Reports the throughput cost of the "
+                         "host<->HBM streaming.")
     ap.add_argument("--e2e", action="store_true",
                     help="t2i/t2v: full serving envelope incl. on-chip VAE "
                          "decode + uint8 postprocess (the reference "
@@ -720,7 +726,8 @@ def bench_train(args):
     pipe_cls = NOVATrainT2VPipeline if video else NOVATrainT2IPipeline
     pipe = pipe_cls(
         model, params, optimizer=optimizer, output_dir=None,
-        ema_decay=None, resume=False)
+        ema_decay=None, resume=False,
+        offload_opt_state=args.offload_opt_state)
     trainer = pipe.trainer
     h, w = model.latent_hw
     t_frames = model.video_base_size[0] if video else None
@@ -804,6 +811,7 @@ def bench_train(args):
                                  round(achieved_ref / 197.0, 3)),
         "p50_step_ms": round(p50 * 1000, 1), "compile_s": round(compile_s, 1),
         "batch": batch, "remat": bool(model.remat), "loss_repeat": 4,
+        "offload_opt_state": bool(args.offload_opt_state),
         "params_m": round(n_params / 1e6, 1),
         "backend": jax.default_backend(),
     }))

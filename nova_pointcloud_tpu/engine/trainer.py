@@ -44,6 +44,7 @@ class Trainer:
         seed: int = 0,
         resume: bool = True,
         tracker: Optional[Callable[[Dict, int], None]] = None,
+        offload_opt_state: bool = False,
     ):
         self.mesh = mesh
         self.max_steps = max_steps
@@ -56,9 +57,11 @@ class Trainer:
         # copy: the donated train step would otherwise delete the caller's tree
         params = jax.tree.map(lambda p: jnp.array(p, copy=True), params)
 
+        self._opt_shardings = None  # set when offloading (for resume re-place)
         if mesh is not None:
             init_fn, self._step_fn = make_sharded_train_step(
-                loss_fn, optimizer, mesh, params)
+                loss_fn, optimizer, mesh, params,
+                offload_opt_state=offload_opt_state)
             with mesh:
                 self.opt_state = init_fn(params)
         else:
@@ -71,7 +74,45 @@ class Trainer:
                 params = optax.apply_updates(params, updates)
                 return params, opt_state, dict(metrics, loss=loss)
 
-            self._step_fn = jax.jit(_plain_step, donate_argnums=(0, 1))
+            if not offload_opt_state:
+                self._step_fn = jax.jit(_plain_step, donate_argnums=(0, 1))
+            else:
+                # ZeRO-Offload analogue: Adam moments live in pinned host
+                # memory between steps; the jitted step transfers each leaf
+                # in explicitly (typed memory-space semantics)
+                from jax.memory import Space
+
+                from nova_pointcloud_tpu.utils.offload import to_host
+
+                self.opt_state = to_host(self.opt_state, min_ndim=1)
+
+                def _offload_step(params, opt_state, batch, key):
+                    opt_state = jax.tree.map(
+                        lambda x: (jax.device_put(x, Space.Device)
+                                   if x.ndim >= 1 else x), opt_state)
+                    return _plain_step(params, opt_state, batch, key)
+
+                if jax.default_backend() == "tpu":
+                    # XLA places the new state straight back in host memory
+                    o_host = jax.tree.map(lambda x: x.sharding,
+                                          self.opt_state)
+                    self._step_fn = jax.jit(
+                        _offload_step, donate_argnums=(0, 1),
+                        out_shardings=(None, o_host, None))
+                else:
+                    # CPU backend can't lower host-memory outputs — write
+                    # the state back from Python after the step
+                    raw = jax.jit(_offload_step, donate_argnums=(0,))
+
+                    def _step_writeback(params, opt_state, batch, key):
+                        params, opt_state, m = raw(params, opt_state,
+                                                   batch, key)
+                        return params, to_host(opt_state, min_ndim=1), m
+
+                    self._step_fn = _step_writeback
+        if offload_opt_state:
+            self._opt_shardings = jax.tree.map(
+                lambda x: x.sharding, self.opt_state)
         self.params = params
 
         self.ema = ema_init(params, ema_decay, ema_every) if ema_decay else None
@@ -108,6 +149,11 @@ class Trainer:
         self.step = out["step"]
         self.params = out["state"]["params"]
         self.opt_state = out["state"]["opt_state"]
+        if self._opt_shardings is not None:
+            # restored arrays land in device memory; the offloaded step's
+            # in_shardings expect them back in pinned host
+            self.opt_state = jax.tree.map(jax.device_put, self.opt_state,
+                                          self._opt_shardings)
         if self.ema is not None:
             self.ema = self.ema._replace(params=out["state"]["ema"])
         return True

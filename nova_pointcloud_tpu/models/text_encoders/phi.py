@@ -191,6 +191,7 @@ class PhiTextEncoder:
                  num_tokens: int = 256):
         self.model, self.params = model, params
         self.tokenizer, self.num_tokens = tokenizer, num_tokens
+        self.host_offload = False  # weights parked in pinned host memory
         self._encode = jax.jit(
             lambda p, ids, mask: model.apply({"params": p}, ids, mask))
 
@@ -198,7 +199,14 @@ class PhiTextEncoder:
         enc = self.tokenizer(list(prompts), padding="max_length",
                              truncation=True, max_length=self.num_tokens,
                              return_tensors="np")
-        out = self._encode(self.params, jnp.asarray(enc["input_ids"]),
+        params = self.params
+        if self.host_offload:
+            # stream the 2.7B Phi weights into HBM only for this call
+            # (diffusers enable_model_cpu_offload semantics)
+            from nova_pointcloud_tpu.utils.offload import to_device
+
+            params = to_device(params)
+        out = self._encode(params, jnp.asarray(enc["input_ids"]),
                            jnp.asarray(enc["attention_mask"]))
         lengths = np.asarray(enc["attention_mask"]).sum(-1).astype(np.int32)
         return np.asarray(out), lengths

@@ -82,6 +82,24 @@ class NOVAPipeline:
                 return vae.scale(dist.sample(k))
             self._encode_image = jax.jit(_enc)
 
+    def enable_host_offload(self) -> None:
+        """TPU-native `enable_model_cpu_offload` (`pipeline_nova.py:31`):
+        park the VAE and text-encoder weights in pinned HOST memory and
+        stream them back into HBM only around their calls. The transformer
+        stays resident — it runs every AR step. Frees HBM for bigger
+        batches / the 1.4B transformer when serving the full stack
+        (Phi-2 text encoder alone is 2.7B params)."""
+        from nova_pointcloud_tpu.utils.offload import to_host
+
+        ip = self.image_processor
+        if ip.vae_params is not None:
+            ip.vae_params = to_host(ip.vae_params)
+            ip.host_offload = True
+        te = self.text_encoder
+        if te is not None and getattr(te, "params", None) is not None:
+            te.params = to_host(te.params)
+            te.host_offload = True
+
     # -- prompt handling ------------------------------------------------------
     def encode_prompt(self, prompt: Sequence[str], negative_prompt=None,
                       guidance: GuidanceConfig = GuidanceConfig(),
@@ -113,7 +131,8 @@ class NOVAPipeline:
         """
         x = jnp.asarray(image, jnp.float32) / 127.5 - 1.0
         key = key if key is not None else jax.random.PRNGKey(0)
-        z = self._encode_image(self.image_processor.vae_params, x[None], key)
+        z = self._encode_image(self.image_processor.device_params(), x[None],
+                               key)
         return jnp.repeat(z, num_images_per_prompt, axis=0)
 
     # -- sampler construction --------------------------------------------------

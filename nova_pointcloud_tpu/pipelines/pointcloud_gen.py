@@ -60,6 +60,18 @@ class NOVAPointCloudGenerationPipeline:
         self.act_scales = None
         self._samplers: Dict[Tuple, Any] = {}
 
+    def enable_host_offload(self) -> None:
+        """TPU-native `enable_model_cpu_offload` (`pipeline_nova.py:31`):
+        park the text-encoder weights in pinned HOST memory; they stream
+        back into HBM only for encode calls (the pc pipeline has no VAE).
+        The transformer stays resident — it runs every diffusion step."""
+        from nova_pointcloud_tpu.utils.offload import to_host
+
+        te = self.text_encoder
+        if te is not None and getattr(te, "params", None) is not None:
+            te.params = to_host(te.params)
+            te.host_offload = True
+
     # -- samplers ---------------------------------------------------------------
     def _make_sampler(self, batch: int, num_points: int, steps: int,
                       use_cfg: bool, use_ar: bool, num_subsets: int,

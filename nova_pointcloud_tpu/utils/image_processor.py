@@ -18,19 +18,30 @@ class VaeImageProcessor:
     def __init__(self, vae=None, vae_params=None, micro_batch: int = 2):
         self.vae, self.vae_params = vae, vae_params
         self.micro_batch = micro_batch
+        self.host_offload = False  # weights parked in pinned host memory
         self._decode = None
         if vae is not None:
             self._decode = jax.jit(lambda p, z: vae.apply(
                 {"params": p}, z, method=vae.decode))
+
+    def device_params(self):
+        """VAE params for a call: streamed back into HBM per call when
+        offloaded (diffusers move-to-GPU-on-use semantics), else as stored."""
+        if self.host_offload and self.vae_params is not None:
+            from nova_pointcloud_tpu.utils.offload import to_device
+
+            return to_device(self.vae_params)
+        return self.vae_params
 
     def decode_latents(self, latents: jax.Array) -> jax.Array:
         """(B, ..., C) scaled latents -> (B, ..., 3) samples in [-1, 1]."""
         if self.vae is None:
             return latents
         z = self.vae.unscale(latents)
+        params = self.device_params()
         outs = []
         for i in range(0, z.shape[0], self.micro_batch):
-            outs.append(self._decode(self.vae_params, z[i: i + self.micro_batch]))
+            outs.append(self._decode(params, z[i: i + self.micro_batch]))
         return jnp.concatenate(outs, axis=0)
 
     @staticmethod

@@ -80,7 +80,11 @@ def main():
         ema_decay=float(ema_cfg.get("decay", 0.98)),
         ema_every=int(ema_cfg.get("update_every", 100)),
         lr_schedule=schedule, seed=seed,
-        resume=exp.get("resume_from_checkpoint") == "latest")
+        resume=exp.get("resume_from_checkpoint") == "latest",
+        # ZeRO-Offload analogue: Adam moments in pinned host memory
+        # (training.offload_opt_state: true) — fits fp32 Adam for the
+        # 1.4B d48w1536 config on one 16GB chip
+        offload_opt_state=bool(tcfg.get("offload_opt_state", False)))
 
     data_cfg = cfg.get("train_dataloader", {})
     dataset_path = data_cfg.get("dataset")
