@@ -111,6 +111,33 @@ def test_trainer_plain_offload(tmp_path):
     assert np.isclose(run(True), run(False), rtol=1e-6)
 
 
+def test_trainer_offload_resume(tmp_path):
+    """Resume restores into device memory; the offloaded trainer must
+    re-place the state into pinned host before stepping again."""
+    from nova_pointcloud_tpu.engine.trainer import Trainer
+
+    params = _tiny_params(jax.random.PRNGKey(0))
+    batch = {"x": jax.random.normal(jax.random.PRNGKey(1), (8, 8)),
+             "y": jax.random.normal(jax.random.PRNGKey(2), (8, 4))}
+
+    def data():
+        while True:
+            yield batch
+
+    kw = dict(mesh=None, output_dir=str(tmp_path), ema_decay=None,
+              log_every=1, save_every=2, offload_opt_state=True)
+    tr = Trainer(_tiny_loss, params, optax.adamw(1e-2), resume=False, **kw)
+    tr.train(data(), max_steps=2)  # saves checkpoint-2
+
+    tr2 = Trainer(_tiny_loss, params, optax.adamw(1e-2), resume=True, **kw)
+    assert tr2.step == 2
+    kinds = {memory_kind(l) for l in jax.tree.leaves(tr2.opt_state)
+             if getattr(l, "ndim", 0) >= 1}
+    assert kinds == {"pinned_host"}, kinds
+    out = tr2.train(data(), max_steps=3)  # one more step must run
+    assert np.isfinite(out["loss"])
+
+
 def test_pipeline_host_offload_identical_outputs():
     """NOVAPipeline.enable_host_offload(): same images, VAE + text-encoder
     weights parked in pinned host memory between calls."""
