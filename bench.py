@@ -85,6 +85,10 @@ TRAIN_T2I_H100_EST_SAMPLES_PER_SEC = 183.5
 #     fwd 13362.4 GFLOP -> 40.087 TFLOP/sample
 TRAIN_T2V_REF_TFLOP_PER_SAMPLE = 40.087
 TRAIN_T2V_H100_EST_SAMPLES_PER_SEC = 14.81
+#   t2i 1.4B d48w1536 sdxl1024-class (64x64 patches, params 1446.3M):
+#     fwd 9544.6 GFLOP -> 28.634 TFLOP/sample
+TRAIN_T2I_14B_REF_TFLOP_PER_SAMPLE = 28.634
+TRAIN_T2I_14B_H100_EST_SAMPLES_PER_SEC = 20.73
 
 
 def _last_json_line(text):
@@ -208,11 +212,15 @@ def main():
                          "(ops/pallas/fused_block._attn_core_head): bf16 "
                          "default (2x MXU rate vs round-3 f32), int8 for "
                          "the 4x-rate A/B")
-    ap.add_argument("--train-arch", choices=("t2i", "t2v"), default="t2i",
+    ap.add_argument("--train-arch", choices=("t2i", "t2v", "t2i-1.4b"),
+                    default="t2i",
                     help="--mode train flavor: t2i = sd512-class d48w1024 "
                          "(reference per-GPU batch 8), t2v = osp480-class "
                          "9-latent-frame video step (reference per-GPU "
-                         "batch 3, configs/nova_d48w1024_osp480.yaml)")
+                         "batch 3, configs/nova_d48w1024_osp480.yaml), "
+                         "t2i-1.4b = d48w1536 sdxl1024-class (64x64 "
+                         "patches; fp32 Adam is ~22GB — pair with "
+                         "--offload-opt-state on a 16GB chip)")
     ap.add_argument("--offload-opt-state", action="store_true",
                     help="--mode train: park the Adam moments in pinned "
                          "HOST memory (ZeRO-Offload analogue; fits fp32 "
@@ -684,10 +692,13 @@ def bench_train(args):
             pass
     on_tpu = jax.default_backend() == "tpu"
     video = args.train_arch == "t2v"
+    xl = args.train_arch == "t2i-1.4b"
     if args.batch != 64:
         batch = args.batch
     elif args.dry_run:
         batch = 1 if video else 2
+    elif xl:
+        batch = 2  # 4096-token samples; reference trains bs=8 on 80GB GPUs
     else:
         batch = 3 if video else 8  # the reference configs' per-GPU batch
     scheduler = FlowMatchEulerScheduler()
@@ -709,6 +720,15 @@ def bench_train(args):
             image_dim=4, image_base_size=(30, 48),
             video_base_size=(9, 15, 24), rotary_pos_embed=True,
             video_mixer_rank=24,
+            patch_size=2, text_token_dim=256, text_token_len=32,
+            noise_scheduler=scheduler, remat=True,
+            dtype=jnp.bfloat16 if on_tpu else None)
+    elif xl:
+        # 1.4B sdxl1024 geometry (configs/nova_d48w1536_sdxl1024.yaml):
+        # 64x64 image patches, d48w1536 stacks
+        model = NOVATransformer(
+            arch=("vit_d16w1536", "vit_d32w1536", "mlp_d6w1536"),
+            image_dim=4, image_base_size=(64, 64), video_base_size=(1, 32, 32),
             patch_size=2, text_token_dim=256, text_token_len=32,
             noise_scheduler=scheduler, remat=True,
             dtype=jnp.bfloat16 if on_tpu else None)
@@ -781,16 +801,23 @@ def bench_train(args):
         xla_flops = float(ca["flops"]) if ca and "flops" in ca else None
     except Exception as e:  # the axon relay may not expose cost analysis
         print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
-    ref_tflop = (TRAIN_T2V_REF_TFLOP_PER_SAMPLE if video
-                 else TRAIN_T2I_REF_TFLOP_PER_SAMPLE)
-    ref_sps = (TRAIN_T2V_H100_EST_SAMPLES_PER_SEC if video
-               else TRAIN_T2I_H100_EST_SAMPLES_PER_SEC)
+    ref_tflop, ref_sps, metric = {
+        "t2i": (TRAIN_T2I_REF_TFLOP_PER_SAMPLE,
+                TRAIN_T2I_H100_EST_SAMPLES_PER_SEC,
+                "t2i_train_0.6B_samples_per_sec_per_chip"),
+        "t2v": (TRAIN_T2V_REF_TFLOP_PER_SAMPLE,
+                TRAIN_T2V_H100_EST_SAMPLES_PER_SEC,
+                "t2v_train_0.6B_samples_per_sec_per_chip"),
+        "t2i-1.4b": (TRAIN_T2I_14B_REF_TFLOP_PER_SAMPLE,
+                     TRAIN_T2I_14B_H100_EST_SAMPLES_PER_SEC,
+                     "t2i_train_1.4B_samples_per_sec_per_chip"),
+    }[args.train_arch]
     achieved_ref = ref_tflop * sps
     achieved_xla = xla_flops / 1e12 / p50 if xla_flops else None
     print(f"# compile={compile_s:.1f}s p50_step={p50*1000:.0f}ms "
           f"loss0={loss0:.3f} loss={loss:.3f}", file=sys.stderr)
     print(json.dumps({
-        "metric": f"{args.train_arch}_train_0.6B_samples_per_sec_per_chip",
+        "metric": metric,
         "value": round(sps, 2), "unit": "samples/sec/chip",
         "vs_baseline": round(sps / ref_sps, 3),
         "baseline_note": "H100 est. for the reference train step (measured "

@@ -112,6 +112,31 @@ def measure_train():
           f"(mean of 3 mask draws)  "
           f"train(3x)={total_v/1e12:.4f} TFLOP/sample")
     print(f"H100 @60% MFU eager: {h100/total_v:.2f} samples/s")
+    del model_v
+
+    # 1.4B t2i sdxl1024-class step (`configs/nova_d48w1536_sdxl1024.yaml`):
+    # 64x64 image patches, d48w1536 stacks. Seeds bench.py's
+    # TRAIN_T2I_14B_* constants (the --train-arch t2i-1.4b +
+    # --offload-opt-state capability proof).
+    model_xl = tn.NOVATransformer3DModel(
+        image_dim=4, image_size=1024, image_stride=8,
+        text_token_dim=256, text_token_len=32,
+        image_base_size=(64, 64), video_base_size=(1, 32, 32),
+        arch=("vit_d16w1536", "vit_d32w1536", "mlp_d6w1536")).train()
+    model_xl.noise_scheduler = FlowMatchEulerDiscreteScheduler(shift=1.0)
+    n_params_xl = sum(p.numel() for p in model_xl.parameters())
+
+    def step_xl():
+        x = torch.randn(1, 4, 128, 128)
+        c = torch.randn(1, 32, 1536)
+        model_xl({"x": x, "c": [c]})
+
+    fwd_xl = float(np.mean([count(step_xl) for _ in range(3)]))
+    total_xl = 3 * fwd_xl
+    print(f"[t2i train d48w1536-sdxl1024] params={n_params_xl/1e6:.1f}M "
+          f"fwd={fwd_xl/1e9:.2f} GFLOP (mean of 3 mask draws)  "
+          f"train(3x)={total_xl/1e12:.4f} TFLOP/sample")
+    print(f"H100 @60% MFU eager: {h100/total_xl:.2f} samples/s")
 
 
 def main():
