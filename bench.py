@@ -748,6 +748,9 @@ def bench_train(args):
         model, params, optimizer=optimizer, output_dir=None,
         ema_decay=None, resume=False,
         offload_opt_state=args.offload_opt_state)
+    # the Trainer holds its own (donation-safe) copy — free the original or
+    # params sit in HBM twice (fatal at 1.4B: 2 x 5.8GB fp32)
+    del params
     trainer = pipe.trainer
     h, w = model.latent_hw
     t_frames = model.video_base_size[0] if video else None
@@ -766,8 +769,11 @@ def bench_train(args):
     if video:
         data["motion_flow"] = jnp.full((batch,), 5.0, jnp.float32)
         data["fps"] = jnp.full((batch,), 12.0, jnp.float32)
-    print(f"# train-{args.train_arch} d48w1024 params={n_params/1e6:.1f}M "
-          f"batch={batch} remat={model.remat}", file=sys.stderr)
+    from nova_pointcloud_tpu.models.nova import VIT_ARCHES
+    depth = VIT_ARCHES[model.arch[0]][0] + VIT_ARCHES[model.arch[1]][0]
+    print(f"# train-{args.train_arch} d{depth}w{model.embed_dim} "
+          f"params={n_params/1e6:.1f}M batch={batch} remat={model.remat} "
+          f"offload={args.offload_opt_state}", file=sys.stderr)
 
     params_t, opt_state = trainer.params, trainer.opt_state
     key = jax.random.PRNGKey(0)

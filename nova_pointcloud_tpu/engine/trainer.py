@@ -65,8 +65,6 @@ class Trainer:
             with mesh:
                 self.opt_state = init_fn(params)
         else:
-            self.opt_state = jax.jit(optimizer.init)(params)
-
             def _plain_step(params, opt_state, batch, key):
                 (loss, metrics), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(params, batch, key)
@@ -75,33 +73,41 @@ class Trainer:
                 return params, opt_state, dict(metrics, loss=loss)
 
             if not offload_opt_state:
+                self.opt_state = jax.jit(optimizer.init)(params)
                 self._step_fn = jax.jit(_plain_step, donate_argnums=(0, 1))
             else:
                 # ZeRO-Offload analogue: Adam moments live in pinned host
                 # memory between steps; the jitted step transfers each leaf
                 # in explicitly (typed memory-space semantics)
-                from jax.memory import Space
-
-                from nova_pointcloud_tpu.utils.offload import to_host
-
-                self.opt_state = to_host(self.opt_state, min_ndim=1)
+                from nova_pointcloud_tpu.utils.offload import (
+                    stream_to_device, to_host)
 
                 def _offload_step(params, opt_state, batch, key):
-                    opt_state = jax.tree.map(
-                        lambda x: (jax.device_put(x, Space.Device)
-                                   if x.ndim >= 1 else x), opt_state)
-                    return _plain_step(params, opt_state, batch, key)
+                    return _plain_step(params, stream_to_device(opt_state),
+                                       batch, key)
 
                 if jax.default_backend() == "tpu":
-                    # XLA places the new state straight back in host memory
-                    o_host = jax.tree.map(lambda x: x.sharding,
-                                          self.opt_state)
+                    # XLA manages the host placement end-to-end: init writes
+                    # the m/v straight to host (never materialized in HBM —
+                    # fp32 Adam for the 1.4B config would be ~11.6GB) and
+                    # the step streams the new state straight back
+                    dev0 = jax.devices()[0]
+                    host_s = jax.sharding.SingleDeviceSharding(
+                        dev0, memory_kind="pinned_host")
+                    dev_s = jax.sharding.SingleDeviceSharding(dev0)
+                    shapes = jax.eval_shape(optimizer.init, params)
+                    o_host = jax.tree.map(
+                        lambda l: host_s if l.ndim >= 1 else dev_s, shapes)
+                    self.opt_state = jax.jit(
+                        optimizer.init, out_shardings=o_host)(params)
                     self._step_fn = jax.jit(
                         _offload_step, donate_argnums=(0, 1),
                         out_shardings=(None, o_host, None))
                 else:
                     # CPU backend can't lower host-memory outputs — write
                     # the state back from Python after the step
+                    self.opt_state = to_host(
+                        jax.jit(optimizer.init)(params), min_ndim=1)
                     raw = jax.jit(_offload_step, donate_argnums=(0,))
 
                     def _step_writeback(params, opt_state, batch, key):
@@ -151,9 +157,9 @@ class Trainer:
         self.opt_state = out["state"]["opt_state"]
         if self._opt_shardings is not None:
             # restored arrays land in device memory; the offloaded step's
-            # in_shardings expect them back in pinned host
-            self.opt_state = jax.tree.map(jax.device_put, self.opt_state,
-                                          self._opt_shardings)
+            # in_shardings expect them back in pinned host (one batched put)
+            self.opt_state = jax.device_put(self.opt_state,
+                                            self._opt_shardings)
         if self.ema is not None:
             self.ema = self.ema._replace(params=out["state"]["ema"])
         return True

@@ -142,22 +142,16 @@ def make_sharded_train_step(
 
     def step(params, opt_state, batch, key):
         if offload_opt_state:
-            # explicit host->device space transfer (required by the typed
-            # memory-space semantics); the latency-hiding scheduler orders
-            # each leaf's H2D right before its update, so HBM never holds
-            # the full m/v tree at once. Scalars (Adam count) stay resident.
-            from jax.memory import Space
+            from nova_pointcloud_tpu.utils.offload import stream_to_device
 
-            opt_state = jax.tree.map(
-                lambda x: (jax.device_put(x, Space.Device)
-                           if x.ndim >= 1 else x), opt_state)
+            opt_state = stream_to_device(opt_state)
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch, key)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         if offload_opt_state:
-            # no out_shardings on the offloaded jit (see below) — keep the
-            # params layout stable across steps from inside the program
+            # the multi-device offload jit has no out_shardings (see below)
+            # — keep the params layout stable from inside the program
             params = jax.lax.with_sharding_constraint(params, p_shard)
         metrics = dict(metrics, loss=loss)
         return params, opt_state, metrics
@@ -173,19 +167,33 @@ def make_sharded_train_step(
         return jit_init, jit_step
 
     # -- ZeRO-Offload: opt state enters in pinned host memory ---------------
-    # The m/v tree lives in host RAM between steps and streams into the
-    # update through the jitted step's host-space inputs. Outputs are left
-    # unconstrained and written back to host from Python: the SPMD
-    # partitioner in this XLA build rejects the output-placement
-    # annotations explicit memory-kind out_shardings emit (side-effect
-    # custom calls without/with replicated sharding), on every backend.
-    # The HBM win is during fwd+bwd — m/v are absent until the update tail.
-    # (The single-device Trainer path, where no SPMD partitioning runs,
-    # keeps fully XLA-managed host outputs — engine/trainer.py.)
     o_host = jax.tree.map(
         lambda s, l: (s.with_memory_kind("pinned_host")
                       if getattr(l, "ndim", 0) >= 1 else s),
         o_shard, opt_state)
+
+    if mesh.devices.size == 1 and jax.default_backend() == "tpu":
+        # Single-chip mesh (the 1.4B-on-16GB case): the SPMD partitioner
+        # never runs, so XLA manages host placement end-to-end — init
+        # writes the m/v straight to host (never materialized in HBM) and
+        # the step streams them through the update.
+        jit_init = jax.jit(init_fn, out_shardings=o_host)
+        jit_step = jax.jit(
+            step,
+            in_shardings=(p_shard, o_host, None, None),
+            out_shardings=(p_shard, o_host, None),
+            donate_argnums=(0, 1) if donate else (),
+        )
+        return jit_init, jit_step
+
+    # Multi-device mesh: the m/v tree (already ZeRO-sharded 1/N per chip)
+    # lives in host RAM between steps and streams into the update through
+    # the jitted step's host-space inputs. Outputs are left unconstrained
+    # and written back to host from Python — the SPMD partitioner in this
+    # XLA build rejects the output-placement annotations explicit
+    # memory-kind out_shardings emit (side-effect custom calls without /
+    # with replicated sharding). The HBM win is during fwd+bwd; the new
+    # m/v materialize device-side (1/N each) only at the update tail.
     raw_init = jax.jit(init_fn, out_shardings=o_shard)  # ZeRO layout first
     raw_step = jax.jit(
         step,
@@ -194,8 +202,10 @@ def make_sharded_train_step(
         donate_argnums=(0,) if donate else (),
     )
 
-    def _park(opt_state):  # recommit to exactly the declared in_shardings
-        return jax.tree.map(jax.device_put, opt_state, o_host)
+    def _park(opt_state):
+        # recommit to exactly the declared in_shardings, ONE batched
+        # device_put (eager dispatch is ~50ms/op on TPU hosts)
+        return jax.device_put(opt_state, o_host)
 
     def init_host(params):
         return _park(raw_init(params))

@@ -42,13 +42,36 @@ def to_memory_kind(tree: Any, kind: str, device=None, min_ndim: int = 0) -> Any:
     (mesh) sharding layout when it has one. Leaves below ``min_ndim`` stay
     put (optimizer scalars such as the Adam step count must keep device
     placement — the SPMD partitioner rejects placement annotations on
-    unsharded scalars, and 4 bytes buy nothing offloaded)."""
-    def put(x):
-        if not hasattr(x, "shape") or getattr(x, "ndim", 0) < min_ndim:
-            return x
-        return jax.device_put(x, _sharding_for(x, kind, device))
+    unsharded scalars, and 4 bytes buy nothing offloaded).
 
-    return jax.tree.map(put, tree)
+    One batched ``jax.device_put`` call for the whole tree: eager dispatch
+    is ~50ms/op on TPU hosts (CLAUDE.md), so per-leaf puts over an Adam
+    tree would cost seconds per call."""
+    moved, keep = [], []
+    leaves, treedef = jax.tree.flatten(tree)
+    for x in leaves:
+        m = hasattr(x, "shape") and getattr(x, "ndim", 0) >= min_ndim
+        keep.append(not m)
+        if m:
+            moved.append(x)
+    if moved:
+        shardings = [_sharding_for(x, kind, device) for x in moved]
+        moved = iter(jax.device_put(moved, shardings))
+    out = [x if k else next(moved) for x, k in zip(leaves, keep)]
+    return jax.tree.unflatten(treedef, out)
+
+
+def stream_to_device(tree: Any) -> Any:
+    """Inside-jit half of opt-state offload: explicit host->device space
+    transfer for every non-scalar leaf (the typed memory-space semantics
+    reject mixed-space ops). The latency-hiding scheduler orders each
+    leaf's H2D right before its consumer, so HBM never holds the whole
+    tree at once. Scalars (the Adam step count) stay resident."""
+    from jax.memory import Space
+
+    return jax.tree.map(
+        lambda x: jax.device_put(x, Space.Device) if x.ndim >= 1 else x,
+        tree)
 
 
 def to_host(tree: Any, device=None, min_ndim: int = 0) -> Any:
