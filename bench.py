@@ -114,14 +114,16 @@ def _resilient_outer() -> int:
     cache makes retries cheap — a killed attempt's compiled programs are
     reused by the next one.
 
-    Env knobs: NOVA_BENCH_DEADLINE_S (total budget, default 7200),
+    Env knobs: NOVA_BENCH_DEADLINE_S (total budget, default 14400
+    — the axon outages run long; round 3 lost its evidence to a
+    2h-deadline capture landing mid-outage),
     NOVA_BENCH_ATTEMPT_S (per-attempt timeout, default 2700),
     NOVA_TPU_POLL_S (health poll cadence, default 120).
     """
     from nova_pointcloud_tpu.utils.platform import wait_for_tpu
 
     deadline = time.monotonic() + float(
-        os.environ.get("NOVA_BENCH_DEADLINE_S", "7200"))
+        os.environ.get("NOVA_BENCH_DEADLINE_S", "14400"))
     per_attempt = float(os.environ.get("NOVA_BENCH_ATTEMPT_S", "2700"))
     poll_s = float(os.environ.get("NOVA_TPU_POLL_S", "120"))
     env = dict(os.environ, NOVA_BENCH_INNER="1")
