@@ -60,6 +60,10 @@ def main():
     ap.add_argument("--no-remat", action="store_true",
                     help="disable per-block gradient checkpointing")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--offload-opt-state", action="store_true",
+                    help="park the Adam moments in pinned host memory "
+                         "(ZeRO-Offload analogue; frees HBM for batch/"
+                         "points at d48w1536 scale)")
     args = ap.parse_args()
     if args.fresh_data is None:
         args.fresh_data = args.data_root is None
@@ -137,7 +141,8 @@ def main():
         loss_config=PointCloudLossConfig(num_subsets=args.num_subsets),
         max_steps=args.max_steps, log_every=20, save_every=args.val_every,
         ema_decay=args.ema_decay, ema_every=args.ema_every,
-        lr_schedule=schedule, seed=args.seed)
+        lr_schedule=schedule, seed=args.seed,
+        offload_opt_state=args.offload_opt_state)
 
     drop_rng = np.random.RandomState(args.seed + 1234)
 
