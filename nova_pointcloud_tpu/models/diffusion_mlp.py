@@ -49,7 +49,8 @@ class DiffusionBlock(nn.Module):
     def setup(self):
         self.norm1 = AdaLayerNormZero(self.dim, num_stats=3)
         self.proj = Projector(self.dim, self.dim, self.dim, dtype=self.dtype)
-        self.norm2 = nn.LayerNorm()
+        # torch nn.LayerNorm default eps (reference diffusion_mlp.py:46)
+        self.norm2 = nn.LayerNorm(epsilon=1e-5)
 
     def _fused(self, x: jax.Array, z: jax.Array) -> jax.Array:
         from nova_pointcloud_tpu.ops.pallas.fused_block import (
@@ -75,7 +76,8 @@ class DiffusionBlock(nn.Module):
             w2, s2, pp["fc2"]["bias"], n2["scale"], n2["bias"],
             a_z=self.get_variable("qparams", "a_z", None),
             a_h=self.get_variable("qparams", "a_h", None),
-            a_silu=self.get_variable("qparams", "a_silu", None))
+            a_silu=self.get_variable("qparams", "a_silu", None),
+            n2_eps=1e-5)
 
     def _calibration_forward(self, x: jax.Array, z: jax.Array) -> jax.Array:
         """XLA mirror of the fused int8 block recording the three quant-site

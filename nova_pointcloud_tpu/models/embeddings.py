@@ -154,7 +154,8 @@ class VideoPosEmbed(nn.Module):
     def setup(self):
         self.time_fc1 = nn.Dense(self.dim, name="time_fc1")
         self.time_fc2 = nn.Dense(self.dim, name="time_fc2")
-        self.time_norm = nn.LayerNorm(name="time_norm")
+        # torch-default eps (reference embeddings.py:99 LayerNorm(dim))
+        self.time_norm = nn.LayerNorm(epsilon=1e-5, name="time_norm")
 
     def time_embed(self, num_frames: int) -> jax.Array:
         """(num_frames, 1, dim) learned projection of time sincos."""
@@ -271,7 +272,8 @@ class TextEmbed(nn.Module):
         self.null_prompt = self.param("null_prompt", nn.initializers.normal(0.02),
                                       (self.max_positions, self.token_dim))
         self.proj = nn.Dense(self.embed_dim, name="proj")
-        self.norm = nn.LayerNorm(name="norm")
+        # torch-default eps (reference embeddings.py:175)
+        self.norm = nn.LayerNorm(epsilon=1e-5, name="norm")
 
     def null_bank(self) -> jax.Array:
         return self.null_prompt
@@ -316,7 +318,8 @@ class LabelEmbed(nn.Module):
         if rng is not None and self.dropout > 0:
             keep = jax.random.uniform(rng, input_ids.shape) > self.dropout
             input_ids = jnp.where(keep, input_ids, self.num_classes)
-        return nn.LayerNorm(name="norm")(table[input_ids])
+        # torch-default eps (reference embeddings.py:216)
+        return nn.LayerNorm(epsilon=1e-5, name="norm")(table[input_ids])
 
 
 class MaskTokens(nn.Module):

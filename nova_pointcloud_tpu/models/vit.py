@@ -166,8 +166,10 @@ class Block(nn.Module):
         self.attn = Attention(self.dim, self.num_heads, self.qkv_bias,
                               self.attn_impl, quantize=self.quantize,
                               dtype=self.dtype, attn_core=self.attn_core)
-        self.norm1 = nn.LayerNorm()
-        self.norm2 = nn.LayerNorm()
+        # torch nn.LayerNorm default eps (reference vision_transformer.py:
+        # 72-74 uses plain LayerNorm(dim)); flax's default is 1e-6
+        self.norm1 = nn.LayerNorm(epsilon=1e-5)
+        self.norm2 = nn.LayerNorm(epsilon=1e-5)
         self.mlp = MLP(self.dim, self.mlp_ratio, dtype=self.dtype)
 
     def _fused_mlp(self, x: jax.Array) -> jax.Array:
@@ -191,7 +193,8 @@ class Block(nn.Module):
                                      a_x=self.get_variable(
                                          "qparams", "a_x", None),
                                      a_gelu=self.get_variable(
-                                         "qparams", "a_gelu", None))
+                                         "qparams", "a_gelu", None),
+                                     ln_eps=1e-5)
 
     def _calibration_mlp(self, x: jax.Array) -> jax.Array:
         """XLA mirror of the fused int8 MLP that records the two quant-site
@@ -408,7 +411,8 @@ class VisionTransformer(nn.Module):
 
         out = h if c is None else h[:, c_len:]
         new_caches = (enc_cache, dec_cache) if caches is not None else None
-        return nn.LayerNorm(name="norm")(out), new_caches
+        # torch-default eps (reference vision_transformer.py:114)
+        return nn.LayerNorm(epsilon=1e-5, name="norm")(out), new_caches
 
     def init_caches(self, batch: int, max_len: int,
                     dtype=jnp.float32) -> Tuple[KVCache, KVCache]:

@@ -514,7 +514,8 @@ def attention_block_vmem_bytes(t: int, d: int, sb: int = 1) -> int:
 
 
 def _mlp_postln_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
-                       lns_ref, lnb_ref, *rest, static_acts=False):
+                       lns_ref, lnb_ref, *rest, static_acts=False,
+                       ln_eps=1e-6):
     if static_acts:
         ax_ref, ag_ref, o_ref = rest
     else:
@@ -536,16 +537,18 @@ def _mlp_postln_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
     o = jax.lax.dot_general(q2, w2_ref[...], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.int32)
     o = o.astype(jnp.float32) * sx2 * s2_ref[0] + b2_ref[0]
-    o = _ln(o, lns_ref[0].astype(jnp.float32), lnb_ref[0].astype(jnp.float32))
+    o = _ln(o, lns_ref[0].astype(jnp.float32), lnb_ref[0].astype(jnp.float32),
+            eps=ln_eps)
     o_ref[...] = (x + o).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_m",))
+@functools.partial(jax.jit, static_argnames=("block_m", "ln_eps"))
 def fused_int8_mlp_postln(x: jax.Array, w1q: jax.Array, s1: jax.Array,
                           b1: jax.Array, w2q: jax.Array, s2: jax.Array,
                           b2: jax.Array, ln_scale: jax.Array,
                           ln_bias: jax.Array, a_x=None, a_gelu=None,
-                          block_m: int = 256) -> jax.Array:
+                          block_m: int = 256,
+                          ln_eps: float = 1e-6) -> jax.Array:
     """Post-sublayer-norm MLP residual, one VMEM-resident int8 pass:
 
         y = x + LN(gelu(q8(x) @ W1q) @ W2q)
@@ -583,7 +586,8 @@ def fused_int8_mlp_postln(x: jax.Array, w1q: jax.Array, s1: jax.Array,
         operands += [_row2(a_x), _row2(a_gelu)]
 
     out = pl.pallas_call(
-        functools.partial(_mlp_postln_kernel, static_acts=static_acts),
+        functools.partial(_mlp_postln_kernel, static_acts=static_acts,
+                          ln_eps=ln_eps),
         out_shape=jax.ShapeDtypeStruct((rows, d), x.dtype),
         grid_spec=pl.GridSpec(
             grid=(rows // block_m,),
@@ -604,7 +608,8 @@ def fused_int8_mlp_postln(x: jax.Array, w1q: jax.Array, s1: jax.Array,
 
 def _diffusion_block_kernel(x_ref, zc_ref, ws_ref, ss_ref, bs_ref,
                             w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
-                            n2s_ref, n2b_ref, *rest, static_acts=False):
+                            n2s_ref, n2b_ref, *rest, static_acts=False,
+                            n2_eps=1e-6):
     if static_acts:
         az_ref, ah_ref, as_ref, o_ref = rest
     else:
@@ -640,11 +645,14 @@ def _diffusion_block_kernel(x_ref, zc_ref, ws_ref, ss_ref, bs_ref,
     o = jax.lax.dot_general(qa, w2_ref[...], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.int32)
     o = o.astype(jnp.float32) * sa * s2_ref[0] + b2_ref[0]
-    o = _ln(o, n2s_ref[0].astype(jnp.float32), n2b_ref[0].astype(jnp.float32))
+    # the AdaLN above keeps eps=1e-6 (reference AdaLayerNormZero eps=1e-6);
+    # norm2 is a plain torch LayerNorm in the reference -> its own eps
+    o = _ln(o, n2s_ref[0].astype(jnp.float32), n2b_ref[0].astype(jnp.float32),
+            eps=n2_eps)
     o_ref[...] = (o * gate + x).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_m",))
+@functools.partial(jax.jit, static_argnames=("block_m", "n2_eps"))
 def fused_int8_diffusion_block(x: jax.Array, zc: jax.Array,
                                wstats_q: jax.Array, stats_s: jax.Array,
                                stats_b: jax.Array, w1q: jax.Array,
@@ -652,7 +660,8 @@ def fused_int8_diffusion_block(x: jax.Array, zc: jax.Array,
                                s2: jax.Array, b2: jax.Array,
                                n2_scale: jax.Array, n2_bias: jax.Array,
                                a_z=None, a_h=None, a_silu=None,
-                               block_m: int = 256) -> jax.Array:
+                               block_m: int = 256,
+                               n2_eps: float = 1e-6) -> jax.Array:
     """One DiffusionMLP block (`models/diffusion_mlp.DiffusionBlock`,
     reference `diffusion_mlp.py:39-53`) as a single VMEM-resident int8 pass:
 
@@ -700,7 +709,8 @@ def fused_int8_diffusion_block(x: jax.Array, zc: jax.Array,
                      _row2(a_silu)]
 
     out = pl.pallas_call(
-        functools.partial(_diffusion_block_kernel, static_acts=static_acts),
+        functools.partial(_diffusion_block_kernel, static_acts=static_acts,
+                          n2_eps=n2_eps),
         out_shape=jax.ShapeDtypeStruct((rows, d), x.dtype),
         grid_spec=pl.GridSpec(
             grid=(rows // block_m,),

@@ -195,6 +195,69 @@ def test_full_sampler_matches_reference(monkeypatch, frames, mixer):
     assert np.abs(ref_lat).max() > 1e-2
 
 
+def test_c2i_full_sampler_matches_reference(monkeypatch):
+    """Class-conditional (ImageNet-style) sampler: label ids through the
+    LabelEmbed table, CFG negative = the null class row
+    (`pipeline_nova_c2i.py:96-124`). Completes the sampler-parity matrix
+    (t2i / t2v / i2v / c2i) against the real reference model."""
+    tn = _register_tiny()
+    from diffnext.schedulers.scheduling_cfm import (
+        FlowMatchEulerDiscreteScheduler as RefCFM)
+
+    torch.manual_seed(0)
+    ref = tn.NOVATransformer3DModel(
+        image_dim=4, image_size=32, image_stride=8, text_token_dim=None,
+        image_base_size=(4, 4), video_base_size=(2, 2, 2),
+        arch=REF_ARCH).eval()
+    ref.sample_scheduler = RefCFM(shift=1.0)
+    g = torch.Generator().manual_seed(1)
+    with torch.no_grad():
+        for p in ref.parameters():
+            p.add_(0.05 * torch.randn(p.shape, generator=g))
+
+    from nova_pointcloud_tpu.pipelines.nova_c2i import NOVAC2IPipeline
+
+    ours = NOVATransformer(
+        arch=ARCH, image_dim=4, image_base_size=(4, 4),
+        video_base_size=(2, 2, 2), patch_size=2, text_token_dim=None,
+        num_classes=1000, noise_scheduler=FlowMatchEulerScheduler())
+    params = load_torch_nova_weights(ours, ref.state_dict())
+
+    ni = ours.num_image_tokens
+    rng = np.random.RandomState(7)
+    labels = [3, 77]
+    order = np.stack([rng.permutation(ni) for _ in range(B)])
+    _InjectRNG(monkeypatch, order, ni)
+
+    # reference: pipeline encode_prompt = label_embed over cond + null ids
+    with torch.no_grad():
+        ids = torch.as_tensor(labels + [1000] * B)
+        c = ref.label_embed(ids)
+    mask_ratios = np.cos(0.5 * np.pi * np.arange(S + 1) / S)
+    mask_length = np.round(mask_ratios * ni).astype("int64")
+    with torch.no_grad():
+        inputs = {
+            "x": torch.zeros(B, 4, 8, 8), "c": [c],
+            "motion_flow": [5.0] * B, "guidance_scale": GS,
+            "num_preds": (mask_length[:-1] - mask_length[1:]).tolist(),
+            "max_latent_length": 1, "num_diffusion_steps": D,
+            "generator": None, "tqdm1": False, "tqdm2": False,
+            "latents": [],
+        }
+        ref.preprocess(inputs)
+        ref.generate_video(inputs)
+    ref_lat = np.stack([lat.numpy() for lat in inputs["latents"]], axis=1)
+
+    pipe = NOVAC2IPipeline(ours, params, FlowMatchEulerScheduler(shift=1.0))
+    out = pipe(labels, num_inference_steps=S, num_diffusion_steps=D,
+               guidance_scale=GS, max_latent_length=1,
+               key=jax.random.PRNGKey(0), output_type="latent")
+    got = np.moveaxis(np.asarray(out.latents, np.float32)[:, None], -1, 2)
+    assert ref_lat.shape == got.shape
+    np.testing.assert_allclose(got, ref_lat, atol=1e-3, rtol=1e-3)
+    assert np.abs(ref_lat).max() > 1e-2
+
+
 def test_i2v_image_guidance_matches_reference(monkeypatch):
     """Image-to-video: prefilled first frame + 3-pass image guidance. The
     image-free middle pass pads frame tokens with the RAW bos token (no
