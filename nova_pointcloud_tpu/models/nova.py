@@ -88,6 +88,7 @@ class NOVATransformer(nn.Module):
     dtype: Any = None
     pp_runner: Any = None  # pipeline-parallel stack runner (training)
     attn_core: str = "bf16"  # static-softmax score-matmul precision (vit.Attention)
+    num_experts: int = 0  # >1: MoE encoder MLPs (models/moe.py), EP-shardable
 
     # -- derived sizes ------------------------------------------------------
     @property
@@ -139,13 +140,15 @@ class NOVATransformer(nn.Module):
                                                quantize=self.quantize,
                                                dtype=self.dtype,
                                                pp_runner=self.pp_runner,
-                                               attn_core=self.attn_core)
+                                               attn_core=self.attn_core,
+                                               num_experts=self.num_experts)
         self.image_encoder = VisionTransformer(di, wi, hi, remat=self.remat,
                                                attn_impl=self.attn_impl,
                                                quantize=self.quantize,
                                                dtype=self.dtype,
                                                pp_runner=self.pp_runner,
-                                               attn_core=self.attn_core)
+                                               attn_core=self.attn_core,
+                                               num_experts=self.num_experts)
         self.image_decoder = DiffusionMLP(dd, wd, cond_dim=wi,
                                           out_dim=self.patch_dim,
                                           quantize=self.quantize,

@@ -161,6 +161,7 @@ class Block(nn.Module):
     quantize: bool = False
     dtype: Any = None
     attn_core: str = "bf16"
+    num_experts: int = 0  # >1: MoE MLP (models/moe.py), expert-parallel ready
 
     def setup(self):
         self.attn = Attention(self.dim, self.num_heads, self.qkv_bias,
@@ -170,7 +171,12 @@ class Block(nn.Module):
         # 72-74 uses plain LayerNorm(dim)); flax's default is 1e-6
         self.norm1 = nn.LayerNorm(epsilon=1e-5)
         self.norm2 = nn.LayerNorm(epsilon=1e-5)
-        self.mlp = MLP(self.dim, self.mlp_ratio, dtype=self.dtype)
+        if self.num_experts > 1:
+            from nova_pointcloud_tpu.models.moe import MoEMLP
+            self.mlp = MoEMLP(self.dim, self.num_experts, self.mlp_ratio,
+                              dtype=self.dtype, name="moe")
+        else:
+            self.mlp = MLP(self.dim, self.mlp_ratio, dtype=self.dtype)
 
     def _fused_mlp(self, x: jax.Array) -> jax.Array:
         from nova_pointcloud_tpu.ops.pallas.fused_block import (
@@ -225,6 +231,8 @@ class Block(nn.Module):
     def __call__(self, x, bias=None, rope=None, cache=None, cache_index=None):
         h, cache = self.attn(x, bias, rope, cache, cache_index)
         x = x + self.norm1(h)
+        if self.num_experts > 1:  # MoE: dense path only (no fused-int8 MLP)
+            return x + self.norm2(self.mlp(x)), cache
         if (self.quantize and not self.is_initializing()
                 and self.is_mutable_collection("act_stats")):
             return self._calibration_mlp(x), cache
@@ -246,6 +254,7 @@ class _ViTScanBody(nn.Module):
     quantize: bool = False
     dtype: Any = None
     attn_core: str = "bf16"
+    num_experts: int = 0
 
     @nn.compact
     def __call__(self, carry, cache):
@@ -254,7 +263,8 @@ class _ViTScanBody(nn.Module):
                                                      cache is None) else Block
         blk = cls(self.dim, self.num_heads, self.mlp_ratio,
                   attn_impl=self.attn_impl, quantize=self.quantize,
-                  dtype=self.dtype, attn_core=self.attn_core, name="block")
+                  dtype=self.dtype, attn_core=self.attn_core,
+                  num_experts=self.num_experts, name="block")
         h, new_cache = blk(h, bias, rope, cache, cache_index)
         return (h, bias, rope, cache_index), new_cache
 
@@ -282,6 +292,7 @@ class VisionTransformer(nn.Module):
     dtype: Any = None
     pp_runner: Any = None  # pipeline-parallel stack runner (training)
     attn_core: str = "bf16"  # static-softmax score-matmul precision (Attention)
+    num_experts: int = 0  # >1: MoE blocks (models/moe.py)
 
     @property
     def enc_depth(self) -> int:
@@ -290,6 +301,10 @@ class VisionTransformer(nn.Module):
     def _stack(self, name: str, length: int, h, bias, rope, cache, cache_index):
         if (self.pp_runner is not None and cache is None
                 and not self.is_initializing()):
+            if self.num_experts > 1:
+                raise NotImplementedError(
+                    "MoE blocks + pipeline parallelism: route experts over "
+                    "the 'expert' mesh axis instead (EP x TP x DP)")
             # pipeline-parallel path (training / no KV caches): run the
             # scanned stack through the GPipe/interleaved ppermute ring.
             # bias rides per-microbatch when batch-leading; rope broadcasts.
@@ -311,12 +326,14 @@ class VisionTransformer(nn.Module):
             return self.pp_runner(block_apply, depth_params, h, extras), None
         body = nn.scan(
             _ViTScanBody,
-            variable_axes={"params": 0, "qparams": 0, "act_stats": 0},
+            variable_axes={"params": 0, "qparams": 0, "act_stats": 0,
+                           "aux_loss": 0},
             split_rngs={"params": True},
             length=length,
             metadata_params={nn.meta.PARTITION_NAME: None},
         )(self.embed_dim, self.num_heads, self.mlp_ratio, self.attn_impl,
-          self.remat, self.quantize, self.dtype, self.attn_core, name=name)
+          self.remat, self.quantize, self.dtype, self.attn_core,
+          self.num_experts, name=name)
         (h, *_), new_cache = body((h, bias, rope, cache_index), cache)
         return h, new_cache
 

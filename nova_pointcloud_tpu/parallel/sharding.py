@@ -35,7 +35,8 @@ def tp_spec_for_param(path_str: str, value: jax.Array, mesh: Mesh,
     """
     size = mesh.shape.get(axis, 1)
     pipe_size = mesh.shape.get("pipe", 1)
-    if (size <= 1 and pipe_size <= 1) or value.ndim < 2:
+    ep_size = mesh.shape.get("expert", 1)
+    if (size <= 1 and pipe_size <= 1 and ep_size <= 1) or value.ndim < 2:
         return P()
     # only shard the transformer block stacks; tiny embed MLPs (time/pos/text
     # projections) would just force resharding churn
@@ -43,6 +44,31 @@ def tp_spec_for_param(path_str: str, value: jax.Array, mesh: Mesh,
                  or "/block/" in path_str)
     if not in_blocks:
         return P()
+    if "moe/" in path_str:
+        # Expert parallelism (models/moe.MoEMLP): expert-stacked weights
+        # shard their leading E axis over the "expert" mesh axis; the expert
+        # hidden dim H additionally carries the Megatron TP annotation
+        # (w1 (E, D, H) column-, w2 (E, H, D) row-parallel) so EP x TP
+        # composes. Kernels may carry scan-depth / pipe leading axes in
+        # front, hence the from-the-right indexing. The router stays
+        # replicated (it is tiny and every token needs it).
+        ep = mesh.shape.get("expert", 1)
+        spec = [None] * value.ndim
+        is_w = any(f"moe/{n}" in path_str for n in ("w1", "w2"))
+        is_b = any(f"moe/{n}" in path_str for n in ("b1", "b2"))
+        e_dim = value.ndim - 3 if is_w else value.ndim - 2 if is_b else None
+        if e_dim is not None and e_dim >= 0:
+            if ep > 1 and value.shape[e_dim] % ep == 0:
+                spec[e_dim] = "expert"
+            h_dim = (-1 if ("moe/w1" in path_str or "moe/b1" in path_str)
+                     else -2 if "moe/w2" in path_str else None)
+            if (h_dim is not None and size > 1
+                    and value.shape[h_dim] % size == 0):
+                spec[h_dim] = axis
+            if (pipe_size > 1 and spec[0] is None and e_dim != 0
+                    and value.shape[0] % pipe_size == 0):
+                spec[0] = "pipe"
+        return P(*spec) if any(spec) else P()
     col = (any(f"{n}/kernel" in path_str for n in
                ("qkv", "fc1", "query", "key", "value")) and size > 1)
     row = (("proj/kernel" in path_str and "attn" in path_str) or

@@ -55,6 +55,7 @@ class _NOVATrainBase:
     """Shared machinery: latents from cached moments, Trainer plumbing."""
 
     frozen: tuple = ()
+    moe_aux_coef: float = 0.01  # Switch-style load-balance loss weight
 
     def __init__(self, model: NOVATransformer, params, vae=None,
                  vae_params=None, text_encoder=None,
@@ -98,8 +99,14 @@ class _NOVATrainBase:
             x = x[:, None]
         rngs = {"mask": k_mask, "time": k_time, "noise": k_noise,
                 "dropout": k_drop}
-        losses = self.model.apply({"params": params}, x, rngs=rngs,
-                                  **self.conditioning(batch))
+        losses, state = self.model.apply({"params": params}, x, rngs=rngs,
+                                         mutable=["aux_loss"],
+                                         **self.conditioning(batch))
+        aux = state.get("aux_loss")
+        if aux:  # MoE load-balancing loss (models/moe.py), per-layer sown
+            leaves = jax.tree_util.tree_leaves(aux)
+            losses = dict(losses, moe_aux=self.moe_aux_coef
+                          * sum(jnp.sum(l) for l in leaves))
         total = sum(losses.values())
         return total, losses
 
