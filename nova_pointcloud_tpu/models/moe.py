@@ -37,6 +37,13 @@ class MoEMLP(nn.Module):
     tokens overflowing an expert's C slots are dropped (standard Switch
     behavior — the residual connection in the enclosing Block carries them
     through unchanged).
+
+    Masked-AR training caveat: capacity C is sized over the full static
+    sequence length N. In the NOVA image encoder's MAE split the encoder
+    half sees only visible tokens, but when the MoE runs over a padded or
+    mask-scattered sequence the router spends slots on rows whose outputs
+    are discarded; at mask ratios >= 0.7 scale ``capacity_factor`` by
+    ~1/(1 - mask_ratio) to keep visible-token load near nominal.
     """
 
     dim: int
@@ -68,7 +75,7 @@ class MoEMLP(nn.Module):
         flat = onehot.reshape(B, N * k, E)
         pos = jnp.cumsum(flat, axis=1) - flat  # tokens ahead in the bucket
         keep = jnp.where(pos < C, flat, 0.0)
-        pos_oh = jax.nn.one_hot(pos.reshape(B, N, k, E), C,
+        pos_oh = jax.nn.one_hot(pos.reshape(B, N, k, E).astype(jnp.int32), C,
                                 dtype=jnp.float32)  # (B, N, k, E, C)
         pos_oh = pos_oh * keep.reshape(B, N, k, E)[..., None]
         dispatch = pos_oh.sum(2)  # (B, N, E, C): each (e, c) slot <= 1 token
@@ -89,9 +96,11 @@ class MoEMLP(nn.Module):
         out = out.astype(jnp.float32) + b2[:, None, None]
         y = jnp.einsum("bnec,ebcd->bnd", combine, out)
 
-        # Switch load-balancing loss: E * sum_e f_e * P_e == 1 at uniform
-        # (f from the kept top-k assignments, P from the raw router probs)
-        f = keep.reshape(B, N, k, E).sum((0, 1, 2)) / max(B * N * k, 1)
+        # Switch load-balancing loss (eq. 4): E * sum_e f_e * P_e == 1 at
+        # uniform. f is the PRE-capacity-drop dispatch fraction — computing
+        # it from `keep` would cap an overloaded expert's fraction at
+        # capacity and shrink the loss exactly when routing is imbalanced.
+        f = onehot.sum((0, 1, 2)) / max(B * N * k, 1)
         p = probs.mean((0, 1))
         aux = E * jnp.sum(f * p)
         self.sow("aux_loss", "load_balance", aux,

@@ -27,6 +27,22 @@ from nova_pointcloud_tpu.models.embeddings import apply_rope
 from nova_pointcloud_tpu.ops import masking
 from nova_pointcloud_tpu.ops.attention import KVCache, attention, cached_attention
 
+_MOE_QUANTIZE_WARNED = False
+
+
+def _warn_moe_quantize_once():
+    # quantize=True with num_experts>1 serves the dense bf16 MoE path (no
+    # fused-int8 MLP kernel, no MLP act-stats calibration) — make the
+    # silent fallback visible without breaking the config.
+    global _MOE_QUANTIZE_WARNED
+    if not _MOE_QUANTIZE_WARNED:
+        _MOE_QUANTIZE_WARNED = True
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "quantize=True with num_experts>1: MoE blocks serve the dense "
+            "bf16 MLP path (int8 fused MLP + its calibration are skipped).")
+
 
 class MLP(nn.Module):
     dim: int
@@ -173,6 +189,8 @@ class Block(nn.Module):
         self.norm2 = nn.LayerNorm(epsilon=1e-5)
         if self.num_experts > 1:
             from nova_pointcloud_tpu.models.moe import MoEMLP
+            if self.quantize:
+                _warn_moe_quantize_once()
             self.mlp = MoEMLP(self.dim, self.num_experts, self.mlp_ratio,
                               dtype=self.dtype, name="moe")
         else:

@@ -108,15 +108,15 @@ def test_ep_param_specs():
 def test_ep_sharded_equals_unsharded():
     model, params, _ = _tiny_vit_moe()
     x = jax.random.normal(jax.random.PRNGKey(5), (4, 12, 16))
-    ref = model.apply({"params": params}, x)
+    ref, _ = model.apply({"params": params}, x)
 
     mesh = create_mesh({"data": 2, "expert": 2, "tensor": 2})
     p_shard = param_sharding(params, mesh)
     params_s = jax.device_put(params, p_shard)
     x_s = jax.device_put(x, batch_sharding(mesh, x.ndim))
-    y = jax.jit(lambda p, a: model.apply({"params": p}, a),
-                in_shardings=(p_shard, batch_sharding(mesh, x.ndim)))(
-                    params_s, x_s)
+    y, _ = jax.jit(lambda p, a: model.apply({"params": p}, a),
+                   in_shardings=(p_shard, batch_sharding(mesh, x.ndim)))(
+                       params_s, x_s)
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=2e-5)
 
 
@@ -125,10 +125,10 @@ def test_nova_moe_train_step_has_aux_loss():
     from nova_pointcloud_tpu.pipelines.train_nova import NOVATrainT2IPipeline
     from nova_pointcloud_tpu.schedulers import DDPMScheduler
 
-    model = NOVATransformer(arch=("vit_d2w64", "vit_d2w64", "mlp_d1w64"),
+    model = NOVATransformer(arch=("vit_d2w64", "vit_d2w64", "mlp_d2w64"),
                             image_base_size=(4, 4), patch_size=1,
                             text_token_dim=16, text_token_len=4,
-                            noise_scheduler=DDPMScheduler.create(),
+                            noise_scheduler=DDPMScheduler(),
                             num_experts=2)
     x = jnp.zeros((2, 1, 4, 4, 4))
     te = jnp.zeros((2, 4, 16))
