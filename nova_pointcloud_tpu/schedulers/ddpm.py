@@ -2,9 +2,11 @@
 
 Behavioral parity with the reference DDPM port
 (`diffnext/schedulers/scheduling_ddpm.py:75-354`): five beta schedules,
-zero-terminal-SNR rescale, fixed/learned variance types,
-epsilon/sample/v prediction, leading/linspace/trailing timestep spacing,
-uniform train-timestep sampling, add_noise and get_velocity.
+zero-terminal-SNR rescale, all six variance types (fixed_small[_log],
+fixed_large[_log], learned, learned_range — the learned pair split a
+2C-channel model output), epsilon/sample/v prediction,
+leading/linspace/trailing timestep spacing, uniform train-timestep
+sampling, add_noise and get_velocity.
 
 TPU-first differences: no hidden mutable state. ``set_timesteps`` returns an
 immutable :class:`DDPMSchedule`; ``step`` takes the step index explicitly so the
@@ -160,7 +162,18 @@ class DDPMScheduler:
         ``t`` may be traced. ``prev_t`` is derived from the schedule stride so
         the body is shape-static and scannable. Supply either ``key`` or
         pre-drawn ``noise`` for the stochastic term.
+
+        For ``variance_type`` in ("learned", "learned_range") the model
+        output carries 2C channels on the LAST axis (channels-last
+        convention; the reference chunks dim=1, `scheduling_ddpm.py:270-272`):
+        the first half is the prediction, the second the variance head.
         """
+        predicted_variance = None
+        if self.variance_type in ("learned", "learned_range"):
+            if model_output.shape[-1] == sample.shape[-1] * 2:
+                model_output, predicted_variance = jnp.split(
+                    model_output, 2, axis=-1)
+
         S = schedule.num_inference_steps if schedule else self.num_train_timesteps
         stride = self.num_train_timesteps // S
         prev_t = t - stride
@@ -178,6 +191,7 @@ class DDPMScheduler:
         xt_coeff = jnp.sqrt(cur_alpha) * b_prev / b_t
         prev_sample = x0_coeff * x0 + xt_coeff * sample
 
+        # formula (6)/(7) posterior variance, log-clamped like the reference
         variance = jnp.clip(b_prev / b_t * cur_beta, 1e-20, None)
         if self.variance_type == "fixed_small":
             std = jnp.sqrt(variance)
@@ -185,6 +199,29 @@ class DDPMScheduler:
             std = jnp.exp(0.5 * jnp.log(variance))
         elif self.variance_type == "fixed_large":
             std = jnp.sqrt(cur_beta)
+        elif self.variance_type == "fixed_large_log":
+            # Glide max_log: std = exp(0.5 * log beta_t) == sqrt(beta_t).
+            # The reference computes log(beta_t) ** 0.5 instead
+            # (`scheduling_ddpm.py:227,310`) — sqrt of a NEGATIVE log for any
+            # beta < 1, i.e. NaN; we implement the Glide intent (SURVEY §7:
+            # fix known reference bugs, don't replicate).
+            std = jnp.exp(0.5 * jnp.log(jnp.clip(cur_beta, 1e-20, None)))
+        elif self.variance_type == "learned":
+            if predicted_variance is None:
+                raise ValueError("variance_type 'learned' needs a 2C-channel "
+                                 "model output (prediction | variance).")
+            std = jnp.sqrt(jnp.clip(predicted_variance, 1e-20, None))
+        elif self.variance_type == "learned_range":
+            # improved-DDPM (arXiv 2102.09672 eq. 15): the variance head is
+            # in [-1, 1]; interpolate between the posterior (min) and beta_t
+            # (max) LOG variances (`scheduling_ddpm.py:229-233,306-307`).
+            if predicted_variance is None:
+                raise ValueError("variance_type 'learned_range' needs a "
+                                 "2C-channel model output.")
+            frac = (predicted_variance + 1.0) / 2.0
+            min_log = jnp.log(variance)
+            max_log = jnp.log(jnp.clip(cur_beta, 1e-20, None))
+            std = jnp.exp(0.5 * (frac * max_log + (1.0 - frac) * min_log))
         else:
             raise NotImplementedError(f"variance_type {self.variance_type!r}")
         if noise is None:

@@ -79,6 +79,80 @@ class TestDDPM:
         t = s.sample_timesteps(jax.random.PRNGKey(0), (1000,))
         assert int(t.min()) >= 0 and int(t.max()) < 1000
 
+    # -- variance-type family (`scheduling_ddpm.py:211-234`) ---------------
+    @staticmethod
+    def _step_parts(s, t, shape, seed=7):
+        """Posterior mean + the per-type noise std, extracted by probing the
+        step with noise=0 and noise=1."""
+        key = jax.random.PRNGKey(seed)
+        x = jax.random.normal(key, shape)
+        eps = jax.random.normal(jax.random.PRNGKey(seed + 1), shape)
+        tt = jnp.asarray(t)
+        mean = s.step(eps, tt, x, noise=jnp.zeros(shape))
+        std = s.step(eps, tt, x, noise=jnp.ones(shape)) - mean
+        return x, eps, mean, np.asarray(std)
+
+    def test_fixed_large_log_is_sqrt_beta(self):
+        """Glide max_log: std == sqrt(beta_t) == the fixed_large std (the
+        reference's log(beta)**0.5 is NaN for beta<1; implemented intent)."""
+        t, shape = 500, (1, 8, 3)
+        s_log = DDPMScheduler(variance_type="fixed_large_log")
+        s_lrg = DDPMScheduler(variance_type="fixed_large")
+        _, _, _, std_log = self._step_parts(s_log, t, shape)
+        _, _, _, std_lrg = self._step_parts(s_lrg, t, shape)
+        assert np.all(np.isfinite(std_log))
+        np.testing.assert_allclose(std_log, std_lrg, rtol=1e-6)
+        # closed form: one training-step stride => beta_t = 1 - a_t/a_{t-1}
+        beta_t = 1.0 - s_log.alphas_cumprod[t] / s_log.alphas_cumprod[t - 1]
+        np.testing.assert_allclose(std_log, np.sqrt(beta_t), rtol=1e-5)
+
+    def test_learned_variance_from_2c_output(self):
+        """'learned': second half of a 2C-channel output IS the variance."""
+        t, C = 400, 3
+        s = DDPMScheduler(variance_type="learned", clip_sample=False)
+        s_ref = DDPMScheduler(variance_type="fixed_small", clip_sample=False)
+        key = jax.random.PRNGKey(3)
+        x = jax.random.normal(key, (2, 8, C))
+        eps = jax.random.normal(jax.random.PRNGKey(4), (2, 8, C))
+        var = jnp.full((2, 8, C), 0.04)
+        out_2c = jnp.concatenate([eps, var], axis=-1)
+        noise = jax.random.normal(jax.random.PRNGKey(5), (2, 8, C))
+        got = s.step(out_2c, jnp.asarray(t), x, noise=noise)
+        # mean must match any fixed-variance scheduler's mean (same eps)
+        mean = s_ref.step(eps, jnp.asarray(t), x, noise=jnp.zeros_like(x))
+        np.testing.assert_allclose(np.asarray(got),
+                                   np.asarray(mean + 0.2 * noise), rtol=1e-5)
+
+    def test_learned_range_interpolates_log_variance(self):
+        """'learned_range' eq. 15 arXiv 2102.09672: head=+1 -> fixed_large
+        std, head=-1 -> posterior (fixed_small) std, head=0 -> geometric
+        mean of the two."""
+        t, shape = 600, (1, 8, 3)
+        s = DDPMScheduler(variance_type="learned_range", clip_sample=False)
+        x = jax.random.normal(jax.random.PRNGKey(8), shape)
+        eps = jax.random.normal(jax.random.PRNGKey(9), shape)
+        tt = jnp.asarray(t)
+
+        def std_for(head):
+            out = jnp.concatenate([eps, jnp.full(shape, head)], axis=-1)
+            m = s.step(out, tt, x, noise=jnp.zeros(shape))
+            return np.asarray(s.step(out, tt, x, noise=jnp.ones(shape)) - m)
+
+        a_t, a_prev = s.alphas_cumprod[t], s.alphas_cumprod[t - 1]
+        beta_t = 1.0 - a_t / a_prev
+        post_var = (1 - a_prev) / (1 - a_t) * beta_t
+        np.testing.assert_allclose(std_for(1.0), np.sqrt(beta_t), rtol=1e-5)
+        np.testing.assert_allclose(std_for(-1.0), np.sqrt(post_var), rtol=1e-5)
+        np.testing.assert_allclose(std_for(0.0),
+                                   (post_var * beta_t) ** 0.25, rtol=1e-5)
+
+    def test_learned_requires_2c(self):
+        s = DDPMScheduler(variance_type="learned")
+        x = jnp.zeros((1, 4, 3))
+        with pytest.raises(ValueError):
+            s.step(jnp.zeros_like(x), jnp.asarray(10), x,
+                   noise=jnp.zeros_like(x))
+
 
 class TestFlowMatch:
     def test_shifted_sigmas(self):
