@@ -7,6 +7,11 @@ config, the backend is a `jax.sharding.Mesh` plus sharding rules
 ride ICI within a slice / DCN across slices.
 
 Axes:
+- "dcn":    cross-process / cross-slice data parallel (the reference's
+  2-node story, `accelerate_configs/multi_nodes/8_gpus_node_0.yaml:6-9`).
+  Always the OUTERMOST axis; devices are ordered by process so collectives
+  over every other axis stay within a process/slice (ride ICI) while only
+  the "dcn" reduction crosses the slow interconnect.
 - "data":   data parallel (grad all-reduce; optimizer-state sharding = ZeRO)
 - "tensor": tensor parallel (attention heads / MLP hidden sharded over ICI)
 
@@ -32,6 +37,17 @@ def create_mesh(shape: Optional[Dict[str, int]] = None,
     """
     devices = list(devices if devices is not None else jax.devices())
     shape = dict(shape or {"data": -1, "tensor": 1})
+    if "dcn" in shape:
+        # The cross-process axis must be outermost and the device order must
+        # group each process's devices contiguously, so that every non-dcn
+        # collective stays within one process/slice (ICI) and only the dcn
+        # reduction crosses DCN. ``shape`` dict order is the mesh axis order.
+        if next(iter(shape)) != "dcn":
+            raise ValueError('the "dcn" axis must be the first (outermost) '
+                             f"mesh axis, got order {tuple(shape)}")
+        if shape["dcn"] == -1:
+            shape["dcn"] = jax.process_count()
+        devices = sorted(devices, key=lambda d: (d.process_index, d.id))
     known = int(np.prod([v for v in shape.values() if v > 0]))
     for k, v in shape.items():
         if v == -1:

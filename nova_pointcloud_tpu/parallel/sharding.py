@@ -132,7 +132,11 @@ def opt_state_sharding(opt_state, mesh: Mesh, axis: str = "data"):
     return jax.tree_util.tree_map(spec, opt_state)
 
 
-def batch_sharding(mesh: Mesh, ndim: int, axis: str = "data"):
+def batch_sharding(mesh: Mesh, ndim: int, axis="data"):
+    """Batch-dim sharding. ``axis`` may be a tuple to shard the batch over a
+    composite axis, e.g. ("dcn", "data") for cross-process + in-slice DP."""
+    if isinstance(axis, str) and "dcn" in mesh.shape and axis == "data":
+        axis = ("dcn", "data")  # multi-slice meshes split the batch over both
     return NamedSharding(mesh, P(*([axis] + [None] * (ndim - 1))))
 
 
