@@ -103,3 +103,88 @@ class PointCloudEvaluator:
             with open(output_json, "w") as f:
                 json.dump(results, f, indent=2)
         return results
+
+
+def conditioning_report(
+    pipeline,
+    refs_by_class: Dict[str, np.ndarray],  # class -> (B, N, 3) references
+    prompt_for: Optional[Dict[str, str]] = None,  # class -> prompt
+    num_points: int = 2048,
+    num_diffusion_steps: int = 25,
+    guidance_scale: float = 3.0,
+    samples_per_class: int = 8,
+    key: Optional[jax.Array] = None,
+    generate_fn=None,  # override: (prompts, key) -> (B, N, 3), for tests
+) -> Dict:
+    """Discriminative text-conditioning eval: cross-class CD matrix + a
+    null-conditioning ablation control.
+
+    The reference's guidance sweep (`test_optimize.py:478-545`) only scores
+    paired CD, which stays flat when conditioning saturates — or when it is
+    DEAD and every class's references are near the generated marginal. This
+    report distinguishes the two:
+
+    - ``cross_cd[i][j]``: mean CD of clouds generated for class i's prompt
+      against class j's references. ``conditioning_accuracy`` = fraction of
+      rows whose DIAGONAL is the row minimum — 1.0 for live conditioning,
+      ~chance for a dead text path.
+    - null control: the same generation with the text dropped (empty prompt
+      == the CFG uncond embedding, guidance 1.0). ``null_degradation`` =
+      mean over classes of (null CD to class refs - conditioned diagonal
+      CD); must be clearly positive when conditioning matters.
+
+    ``conditioned_ok`` (the CI guard) fails when conditioning is ablated:
+    accuracy must be perfect AND the null control must degrade by at least
+    25% of the class-separation scale (mean offdiag - mean diag).
+    """
+    key = key if key is not None else jax.random.PRNGKey(0)
+    classes = sorted(refs_by_class)
+    prompt_for = prompt_for or {c: f"a {c}" for c in classes}
+
+    def gen(prompts, k):
+        if generate_fn is not None:
+            return np.asarray(generate_fn(prompts, k))
+        out = pipeline(list(prompts), num_points=num_points,
+                       num_diffusion_steps=num_diffusion_steps,
+                       guidance_scale=(1.0 if all(p == "" for p in prompts)
+                                       else guidance_scale),
+                       key=k, postprocess="eval")
+        return np.asarray(out.point_clouds)
+
+    def mean_cd(a, b):
+        # mean over all (generated, reference) pairs, not index-paired:
+        # conditioning is a distribution-level property
+        na, nb = len(a), len(b)
+        aa = np.repeat(a, nb, axis=0)
+        bb = np.tile(b, (na, 1, 1))
+        return float(jnp.mean(L.chamfer_distance(jnp.asarray(aa),
+                                                 jnp.asarray(bb))))
+
+    keys = jax.random.split(key, len(classes) + 1)
+    cross = np.zeros((len(classes), len(classes)))
+    for i, c in enumerate(classes):
+        gen_i = gen([prompt_for[c]] * samples_per_class, keys[i])
+        for j, cj in enumerate(classes):
+            cross[i, j] = mean_cd(gen_i, refs_by_class[cj][:samples_per_class])
+
+    null_gen = gen([""] * samples_per_class, keys[-1])
+    null_cd = np.array([mean_cd(null_gen, refs_by_class[c][:samples_per_class])
+                        for c in classes])
+
+    diag = np.diag(cross)
+    offdiag = cross[~np.eye(len(classes), dtype=bool)]
+    accuracy = float(np.mean(np.argmin(cross, axis=1) == np.arange(len(classes))))
+    separation = float(offdiag.mean() - diag.mean())
+    null_degradation = float(np.mean(null_cd - diag))
+    ok = bool(accuracy == 1.0 and separation > 0
+              and null_degradation > 0.25 * separation)
+    return {
+        "classes": classes,
+        "cross_cd": cross.tolist(),
+        "conditioning_accuracy": accuracy,
+        "diag_cd": diag.tolist(),
+        "null_cd": null_cd.tolist(),
+        "class_separation": separation,
+        "null_degradation": null_degradation,
+        "conditioned_ok": ok,
+    }

@@ -42,6 +42,11 @@ def main():
                     help="also score the int8 path with CALIBRATED static "
                          "activation scales (pipeline.calibrate) as a third "
                          "'int8_static' row")
+    ap.add_argument("--conditioning", action="store_true",
+                    help="also run the discriminative conditioning report: "
+                         "cross-class CD matrix + null-text ablation control "
+                         "(evaluation.pointcloud_eval.conditioning_report); "
+                         "fails the eval when the text path is dead")
     ap.add_argument("--deterministic", action="store_true",
                     help="zero-variance reverse DDPM (DDIM-style ancestral "
                          "mean): removes the per-step sampling noise floor "
@@ -146,6 +151,24 @@ def main():
         results[tag] = r
         print(tag, "best_cd=%.4f best_emd=%.4f @gs=%s" % (
             r["best_chamfer"], r["best_emd"], r["best_guidance_scale"]))
+
+        if args.conditioning:
+            from nova_pointcloud_tpu.evaluation.pointcloud_eval import (
+                conditioning_report)
+
+            refs_by_class = {}
+            for s, ref in zip(shapes, refs):
+                refs_by_class.setdefault(s["synset"], []).append(ref)
+            refs_by_class = {k: np.stack(v) for k, v in refs_by_class.items()}
+            rep = conditioning_report(
+                pipe, refs_by_class, num_points=args.num_points,
+                num_diffusion_steps=args.steps,
+                guidance_scale=r["best_guidance_scale"],
+                key=jax.random.PRNGKey(args.seed + 1))
+            results[tag + "_conditioning"] = rep
+            print(tag, "conditioning acc=%.2f sep=%.4f null_deg=%.4f ok=%s"
+                  % (rep["conditioning_accuracy"], rep["class_separation"],
+                     rep["null_degradation"], rep["conditioned_ok"]))
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
