@@ -128,6 +128,7 @@ def _resilient_outer() -> int:
     poll_s = float(os.environ.get("NOVA_TPU_POLL_S", "120"))
     env = dict(os.environ, NOVA_BENCH_INNER="1")
     attempt, last_rc, last_out = 0, 1, ""
+    hard_failures = 0  # consecutive fast rc!=0 exits while the TPU is healthy
     while time.monotonic() < deadline - 30:
         attempt += 1
         # Reserve room for one full attempt: poll only up to
@@ -144,22 +145,38 @@ def _resilient_outer() -> int:
         if budget <= 30:
             break
         with tempfile.TemporaryFile("w+") as f:
+            t_child = time.monotonic()
             try:
                 rc = subprocess.run(
                     [sys.executable, os.path.abspath(__file__)]
                     + sys.argv[1:], stdout=f, env=env,
                     timeout=budget).returncode
             except subprocess.TimeoutExpired:
+                hard_failures = 0
                 print(f"# attempt {attempt}: killed after {budget:.0f}s "
                       "(remote-compiler stall profile); retrying",
                       file=sys.stderr)
                 continue
+            child_s = time.monotonic() - t_child
             f.seek(0)
             out = f.read()
         last_rc, last_out = rc, out
         if rc == 0 and _last_json_line(out) is not None:
             sys.stdout.write(out)
             return 0
+        # A fast nonzero exit while the tunnel is HEALTHY is a deterministic
+        # bug (e.g. a VMEM-OOM compile error from a bad block-shape
+        # override), not an outage — retrying for hours would just block
+        # the queue. Outages look like probe-down or stalls/timeouts.
+        if up and rc != 0 and child_s < 900:
+            hard_failures += 1
+            if hard_failures >= 2:
+                print(f"# attempt {attempt}: rc={rc} in {child_s:.0f}s with "
+                      "a healthy TPU twice in a row — deterministic "
+                      "failure, giving up", file=sys.stderr)
+                break
+        else:
+            hard_failures = 0
         print(f"# attempt {attempt}: rc={rc}, json={_last_json_line(out) is not None}; "
               "retrying", file=sys.stderr)
     sys.stdout.write(last_out)

@@ -456,7 +456,16 @@ def fused_attention_block(x: jax.Array, ln_scale: jax.Array,
     except ValueError:  # empty/malformed: fall back to auto, as documented
         sb_env = 0
     if sb_env > 0 and b % sb_env == 0:
-        sb = sb_env
+        # the override may push past the 14MB pipelining heuristic for
+        # sweeps, but never past the physical ~16MB scoped-VMEM limit —
+        # that is a guaranteed compile error, not an experiment
+        if attention_block_vmem_bytes(t, d, sb_env) <= int(15.5 * 2**20):
+            sb = sb_env
+        else:
+            import sys
+
+            print(f"# NOVA_ATTN_SB={sb_env} exceeds the 16MB VMEM limit at "
+                  f"(T={t}, D={d}); using sb={sb}", file=sys.stderr)
     _check_act_scales(a_in=a_in, a_av=a_av)
     static_acts = a_in is not None
     static_smax = a_smax is not None

@@ -101,6 +101,38 @@ def test_resilient_outer_deadline(monkeypatch):
     assert bench._resilient_outer() != 0
 
 
+def test_resilient_outer_fails_fast_on_deterministic_error(monkeypatch):
+    """Two consecutive FAST rc!=0 exits with a healthy TPU = a deterministic
+    bug (e.g. a VMEM-OOM compile from a bad NOVA_ATTN_SB override), not an
+    outage — the wrapper must give up instead of retrying to the 4h
+    deadline (this blocked the round-5 sweep queue for 40 minutes)."""
+    monkeypatch.setattr(nplatform, "wait_for_tpu", lambda **kw: True)
+    calls = {"n": 0}
+
+    def fake_run(cmd, stdout=None, env=None, timeout=None):
+        calls["n"] += 1
+        stdout.write("# vmem oom traceback\n")
+        return types.SimpleNamespace(returncode=1)
+
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    monkeypatch.setenv("NOVA_BENCH_DEADLINE_S", "100000")
+    monkeypatch.setattr(bench.sys, "argv", ["bench.py"])
+    monkeypatch.setattr(bench.sys.stdout, "write", lambda s: len(s))
+    assert bench._resilient_outer() != 0
+    assert calls["n"] == 2  # gave up after the second identical failure
+
+
+def test_attn_sb_override_respects_vmem_limit(monkeypatch):
+    """NOVA_ATTN_SB values whose footprint exceeds the physical ~16MB
+    scoped-VMEM limit fall back to auto instead of a guaranteed compile
+    error (observed: sb=8 at T=128 D=1024 -> 19.8M scoped alloc)."""
+    from nova_pointcloud_tpu.ops.pallas.fused_block import (
+        attention_block_vmem_bytes)
+
+    assert attention_block_vmem_bytes(128, 1024, 4) <= int(15.5 * 2**20)
+    assert attention_block_vmem_bytes(128, 1024, 8) > int(15.5 * 2**20)
+
+
 def test_probe_src_is_subprocess_safe():
     """The probe source must not import this repo (keeps it robust to repo
     bugs) and must force a D2H (relay ignores block_until_ready)."""
