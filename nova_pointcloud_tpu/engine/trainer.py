@@ -45,6 +45,7 @@ class Trainer:
         resume: bool = True,
         tracker: Optional[Callable[[Dict, int], None]] = None,
         offload_opt_state: bool = False,
+        zero3: bool = False,
     ):
         self.mesh = mesh
         self.max_steps = max_steps
@@ -61,8 +62,14 @@ class Trainer:
         if mesh is not None:
             init_fn, self._step_fn = make_sharded_train_step(
                 loss_fn, optimizer, mesh, params,
-                offload_opt_state=offload_opt_state)
+                offload_opt_state=offload_opt_state, zero3=zero3)
             with mesh:
+                if zero3:  # move params to their 1/N-per-device residency
+                    from nova_pointcloud_tpu.parallel.sharding import (
+                        zero3_param_sharding)
+
+                    params = jax.device_put(
+                        params, zero3_param_sharding(params, mesh))
                 self.opt_state = init_fn(params)
         else:
             def _plain_step(params, opt_state, batch, key):

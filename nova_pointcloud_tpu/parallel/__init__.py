@@ -5,6 +5,7 @@ from nova_pointcloud_tpu.parallel.sharding import (  # noqa: F401
     opt_state_sharding,
     param_sharding,
     tp_spec_for_param,
+    zero3_param_sharding,
 )
 from nova_pointcloud_tpu.parallel.pipeline import (  # noqa: F401
     make_pipelined_apply,

@@ -103,6 +103,33 @@ def param_sharding(params, mesh: Mesh, tp_axis: str = "tensor"):
     return jax.tree_util.tree_map_with_path(spec, params)
 
 
+def zero3_param_sharding(params, mesh: Mesh, axis: str = "data",
+                         tp_axis: str = "tensor", min_size: int = 2048):
+    """ZeRO-3 / FSDP-style parameter sharding (beyond the reference's ZeRO-2).
+
+    On top of the Megatron TP spec, shard the largest still-unsharded dim of
+    every parameter with >= ``min_size`` elements over the data axis. Under
+    jit, XLA inserts the per-use all-gather and reduce-scatters the grads —
+    the collective schedule DeepSpeed ZeRO-3 implements by hand
+    (`accelerate_configs/*` stop at zero_stage 2). Params below ``min_size``
+    stay replicated (gather churn would dominate their memory win).
+    """
+    size = mesh.shape.get(axis, 1)
+
+    def spec(path, v):
+        base = tp_spec_for_param(_path_str(path), v, mesh, tp_axis)
+        dims = list(base) + [None] * (v.ndim - len(base))
+        if size > 1 and v.ndim >= 1 and int(np.prod(v.shape)) >= min_size:
+            for d in sorted(range(v.ndim), key=lambda d: -v.shape[d]):
+                if dims[d] is None and v.shape[d] % size == 0 \
+                        and v.shape[d] >= size:
+                    dims[d] = axis
+                    break
+        return NamedSharding(mesh, P(*dims))
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
 def _zero_spec(value: jax.Array, mesh: Mesh, axis: str) -> P:
     """Shard the largest divisible dim of an optimizer-state leaf over ``axis``."""
     size = mesh.shape.get(axis, 1)
@@ -149,6 +176,7 @@ def make_sharded_train_step(
     zero_axis: str = "data",
     donate: bool = True,
     offload_opt_state: bool = False,
+    zero3: bool = False,
 ):
     """Build (init_fn, step_fn) with DP + ZeRO + TP shardings.
 
@@ -161,8 +189,14 @@ def make_sharded_train_step(
     (fp32 Adam for the 1.4B d48w1536 config is ~22 GB, over one v5e's
     16 GB HBM; offloaded m/v make single-chip 1.4B training fit). XLA
     streams the state through the update inside the same jitted step.
+
+    ``zero3=True`` additionally shards the PARAMETERS over the data axis
+    (``zero3_param_sharding``): 1/N params + 1/N grads + 1/N opt state per
+    device, with XLA inserting the per-use all-gathers — full ZeRO-3/FSDP
+    semantics from PartitionSpecs alone.
     """
-    p_shard = param_sharding(params, mesh, tp_axis)
+    p_shard = (zero3_param_sharding(params, mesh, zero_axis, tp_axis)
+               if zero3 else param_sharding(params, mesh, tp_axis))
 
     def init_fn(params):
         return optimizer.init(params)

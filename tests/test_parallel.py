@@ -104,6 +104,53 @@ def test_sharded_train_step_runs_and_learns():
     assert "tensor" in str(leaf.sharding.spec)
 
 
+def test_zero3_matches_replicated_params():
+    """ZeRO-3 (params sharded over data + XLA per-use all-gather) must train
+    identically to the replicated-params step, with 1/N param residency."""
+    mesh = create_mesh({"data": 4, "tensor": 2})
+    model, params = make_pc()
+    sched = DDPMScheduler(beta_schedule="squaredcos_cap_v2")
+
+    def loss_fn(params, batch, key):
+        k1, k2 = jax.random.split(key)
+        pts, text = batch["points"], batch["text"]
+        t = sched.sample_timesteps(k1, (pts.shape[0],))
+        noise = jax.random.normal(k2, pts.shape)
+        x_t = sched.add_noise(pts, noise, t)
+        pred = model.apply({"params": params}, x_t, t, text)
+        return jnp.mean((pred - noise) ** 2), {}
+
+    opt = optax.adam(2e-3)
+    pts = jax.random.normal(jax.random.PRNGKey(0), (8, 64, 3))
+    batch_host = {"points": pts, "text": jnp.zeros((8, 8, 32))}
+
+    def train(zero3):
+        p = params
+        with mesh:
+            init_fn, step_fn = make_sharded_train_step(
+                loss_fn, opt, mesh, p, donate=False, zero3=zero3)
+            opt_state = init_fn(p)
+            batch = {k: jax.device_put(v, batch_sharding(mesh, 3))
+                     for k, v in batch_host.items()}
+            for i in range(3):
+                p, opt_state, m = step_fn(p, opt_state, batch,
+                                          jax.random.PRNGKey(i))
+        return p, float(m["loss"])
+
+    p_ref, loss_ref = train(zero3=False)
+    p_z3, loss_z3 = train(zero3=True)
+    assert loss_z3 == pytest.approx(loss_ref, rel=1e-5)
+    # Adam normalizes by sqrt(v): on near-zero-grad leaves the f32
+    # reduction-order noise between the two layouts is amplified to O(1e-6)
+    # per step. Tolerance = 1% of one lr=2e-3 step.
+    for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_z3)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    # a large non-TP-dim param is sharded over "data" (true ZeRO-3 residency)
+    leaf = p_z3["blocks"]["layers"]["block"]["fc1"]["kernel"]
+    assert "data" in str(leaf.sharding.spec)
+    assert "tensor" in str(leaf.sharding.spec)  # composes with TP
+
+
 def test_zero_opt_state_sharded():
     mesh = create_mesh({"data": 8, "tensor": 1})
     model, params = make_pc()
