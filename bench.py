@@ -231,6 +231,10 @@ def main():
                          "(ops/pallas/fused_block._attn_core_head): bf16 "
                          "default (2x MXU rate vs round-3 f32), int8 for "
                          "the 4x-rate A/B")
+    ap.add_argument("--bucket-fracs", default=None,
+                    help="t2i/t2v: comma-separated phased-MAE-gather bucket "
+                         "divisors (default 8,4,2; e.g. 16,8,4,2 adds a "
+                         "finer early phase — NOVAPipeline.bucket_fracs)")
     ap.add_argument("--train-arch", choices=("t2i", "t2v", "t2i-1.4b"),
                     default="t2i",
                     help="--mode train flavor: t2i = sd512-class d48w1024 "
@@ -458,6 +462,9 @@ def bench_t2i(args):
     pipe = NOVAPipeline(model, params, scheduler, vae=vae,
                         vae_params=vae_params,
                         text_encoder=DummyTextEncoder(256, 32))
+    if args.bucket_fracs:
+        pipe.bucket_fracs = tuple(
+            int(x) for x in args.bucket_fracs.split(","))
     prompts = [f"a scene {i}" for i in range(batch)]
     print(f"# t2i d48w1024 params={n_params/1e6:.1f}M batch={batch} "
           f"ar={args.ar_steps} diff={args.steps} e2e={args.e2e}",
@@ -596,6 +603,9 @@ def bench_t2v(args):
                         vae_params=vae_params,
                         text_encoder=DummyTextEncoder(
                             2560, model.text_token_len))
+    if args.bucket_fracs:
+        pipe.bucket_fracs = tuple(
+            int(x) for x in args.bucket_fracs.split(","))
     prompts = [f"a drone shot {i}" for i in range(batch)]
     print(f"# t2v d48w1024-osp480 params={n_params/1e6:.1f}M batch={batch} "
           f"frames={frames} ar={args.ar_steps} diff={args.steps} "

@@ -56,8 +56,12 @@ class NOVAPipeline:
         # sampler; XLA places the qkv/MLP all-reduces on ICI.
         self.mesh = mesh
         # phased MAE-gather encoder in the AR sampler (see _make_sampler);
-        # exposed for A/B tests and debugging
+        # exposed for A/B tests and debugging. bucket_fracs are the static
+        # visible-bucket divisors per phase (largest-first); a finer leading
+        # bucket (e.g. (16, 8, 4, 2)) shortens the early-AR encoder passes
+        # at the cost of one more compiled phase.
         self.enable_bucket_phases = True
+        self.bucket_fracs = (8, 4, 2)
         # guidance truncation as a static two-phase diffusion scan (half
         # batch on the truncated tail); False falls back to the where-select
         # in guidance.combine — used by the equivalence test
@@ -182,8 +186,10 @@ class NOVAPipeline:
         bucket_phases = None
         if self.enable_bucket_phases and S > 1 and ni >= 64:
             plan, s_cur = [], 0
-            for frac in (8, 4, 2):
+            for frac in self.bucket_fracs:
                 bucket = ni // frac
+                if bucket < 8:  # too small to be worth a compiled phase
+                    continue
                 # last step whose visible count still fits this bucket
                 end = int(np.searchsorted(starts, bucket, side="right"))
                 if end > s_cur:
@@ -547,6 +553,7 @@ class NOVAPipeline:
     def _get_sampler(self, **kw):
         key = tuple(sorted((k, str(v)) for k, v in kw.items()))
         key += (("bucket_phases", self.enable_bucket_phases),
+                ("bucket_fracs", self.bucket_fracs),
                 ("trunc_split", self.enable_trunc_split),
                 ("static_acts", self.act_scales is not None))
         if key not in self._samplers:

@@ -208,10 +208,15 @@ def test_bucket_phased_sampler_matches_full_masking():
     kw = dict(num_inference_steps=8, num_diffusion_steps=2,
               key=jax.random.PRNGKey(5))
     phased = pipe(["a chair"], **kw).latents
+    pipe.bucket_fracs = (16, 8, 4, 2)  # finer leading bucket (ni/16 = 4 < 8
+    # is skipped; ni/8.. apply), still identical output
+    finer = pipe(["a chair"], **kw).latents
     pipe.enable_bucket_phases = False
     full = pipe(["a chair"], **kw).latents
     assert phased.shape == full.shape
     np.testing.assert_allclose(np.asarray(phased), np.asarray(full),
+                               atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(finer), np.asarray(full),
                                atol=1e-3, rtol=1e-3)
 
 
