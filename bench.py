@@ -235,6 +235,10 @@ def main():
                     help="t2i/t2v: comma-separated phased-MAE-gather bucket "
                          "divisors (default 8,4,2; e.g. 16,8,4,2 adds a "
                          "finer early phase — NOVAPipeline.bucket_fracs)")
+    ap.add_argument("--train-no-remat", action="store_true",
+                    help="--mode train: disable per-block gradient "
+                         "checkpointing (recompute-free backward; needs "
+                         "smaller batch to fit HBM — A/B the remat cost)")
     ap.add_argument("--train-arch", choices=("t2i", "t2v", "t2i-1.4b"),
                     default="t2i",
                     help="--mode train flavor: t2i = sd512-class d48w1024 "
@@ -750,7 +754,7 @@ def bench_train(args):
             video_base_size=(9, 15, 24), rotary_pos_embed=True,
             video_mixer_rank=24,
             patch_size=2, text_token_dim=256, text_token_len=32,
-            noise_scheduler=scheduler, remat=True,
+            noise_scheduler=scheduler, remat=not args.train_no_remat,
             dtype=jnp.bfloat16 if on_tpu else None)
     elif xl:
         # 1.4B sdxl1024 geometry (configs/nova_d48w1536_sdxl1024.yaml):
@@ -759,14 +763,14 @@ def bench_train(args):
             arch=("vit_d16w1536", "vit_d32w1536", "mlp_d6w1536"),
             image_dim=4, image_base_size=(64, 64), video_base_size=(1, 32, 32),
             patch_size=2, text_token_dim=256, text_token_len=32,
-            noise_scheduler=scheduler, remat=True,
+            noise_scheduler=scheduler, remat=not args.train_no_remat,
             dtype=jnp.bfloat16 if on_tpu else None)
     else:
         model = NOVATransformer(
             arch=("vit_d16w1024", "vit_d32w1024", "mlp_d6w1024"),
             image_dim=4, image_base_size=(32, 32), video_base_size=(1, 16, 16),
             patch_size=2, text_token_dim=256, text_token_len=32,
-            noise_scheduler=scheduler, remat=True,
+            noise_scheduler=scheduler, remat=not args.train_no_remat,
             dtype=jnp.bfloat16 if on_tpu else None)
     params = init_transformer(model, seed=0, batch=1)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
