@@ -192,7 +192,10 @@ def main():
     ap.add_argument("--arch", default="pc_d48w1024",
                     help="t2pc arch; pc_d48w1536 benches the 1.4B config "
                          "(the north-star d48w1536 scale) on one chip")
-    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=None,
+                    help="default: 128 for t2pc (measured +5%% over 64 at "
+                         "flagship shapes, round 5), 4 for t2i, 1 for t2v, "
+                         "reference per-GPU batch for train")
     ap.add_argument("--steps", type=int, default=25)
     ap.add_argument("--ar-steps", type=int, default=64)
     ap.add_argument("--points", type=int, default=2048)
@@ -302,7 +305,8 @@ def main():
     if args.dry_run:
         arch, batch, steps, points = "pc_d2w64", 2, 2, 256
     else:
-        arch, batch, steps, points = args.arch, args.batch, args.steps, args.points
+        arch, batch, steps, points = (args.arch, args.batch or 128,
+                                      args.steps, args.points)
 
     model = NOVAPointCloudTransformer(
         arch=arch, point_cloud_size=points, patch_size=16 if not args.dry_run else 1,
@@ -425,7 +429,7 @@ def bench_t2i(args):
         except Exception:
             pass
     on_tpu = jax.default_backend() == "tpu"
-    batch = args.batch if args.batch != 64 else (2 if args.dry_run else 4)
+    batch = args.batch or (2 if args.dry_run else 4)
     scheduler = FlowMatchEulerScheduler()
     if args.dry_run:
         args.ar_steps, args.steps, args.repeats = 3, 2, 1
@@ -562,7 +566,7 @@ def bench_t2v(args):
         except Exception:
             pass
     on_tpu = jax.default_backend() == "tpu"
-    batch = 1 if args.batch == 64 else args.batch
+    batch = args.batch or 1
     frames = 2 if args.dry_run else 9
     scheduler = FlowMatchEulerScheduler()
     if args.dry_run:
@@ -726,7 +730,7 @@ def bench_train(args):
     on_tpu = jax.default_backend() == "tpu"
     video = args.train_arch == "t2v"
     xl = args.train_arch == "t2i-1.4b"
-    if args.batch != 64:
+    if args.batch:
         batch = args.batch
     elif args.dry_run:
         batch = 1 if video else 2
