@@ -53,14 +53,15 @@ def main():
     ap.add_argument("--tiny", action="store_true",
                     help="CPU smoke shapes")
     args = ap.parse_args()
-    enable_compilation_cache()
-
-    scheduler = FlowMatchEulerScheduler()
-    if args.tiny:
+    if args.tiny:  # BEFORE any backend touch (cache setup probes the backend)
         try:
             jax.config.update("jax_platforms", "cpu")
         except Exception:
             pass
+    enable_compilation_cache()
+
+    scheduler = FlowMatchEulerScheduler()
+    if args.tiny:
         args.ar_steps, args.steps, args.frames = 4, 2, 3
         model = NOVATransformer(
             arch=("vit_d2w64", "vit_d2w64", "mlp_d2w64"),
