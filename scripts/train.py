@@ -84,7 +84,9 @@ def main():
         # ZeRO-Offload analogue: Adam moments in pinned host memory
         # (training.offload_opt_state: true) — fits fp32 Adam for the
         # 1.4B d48w1536 config on one 16GB chip
-        offload_opt_state=bool(tcfg.get("offload_opt_state", False)))
+        offload_opt_state=bool(tcfg.get("offload_opt_state", False)),
+        # ZeRO-3/FSDP: params sharded over "data" (training.zero3: true)
+        zero3=bool(tcfg.get("zero3", False)))
 
     data_cfg = cfg.get("train_dataloader", {})
     dataset_path = data_cfg.get("dataset")

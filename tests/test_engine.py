@@ -101,6 +101,33 @@ class TestTrainer:
         assert metrics["loss"] < 0.05
         assert tr.step == 60
 
+    def test_loop_learns_zero3(self):
+        """Trainer(zero3=True): FSDP-style param sharding over the data
+        axis still converges to the same place (larger params so the
+        min_size gate engages on w)."""
+        from nova_pointcloud_tpu.parallel import create_mesh
+
+        w_true = jnp.asarray(np.random.RandomState(1).randn(2048) * 0.5)
+        params = {"w": jnp.zeros(2048)}
+
+        def loss_fn(params, batch, key):
+            pred = batch["x"] @ params["w"]
+            return jnp.mean((pred - batch["y"]) ** 2), {}
+
+        def data():
+            rng = np.random.RandomState(0)
+            while True:
+                x = rng.randn(16, 2048).astype(np.float32) / 45.0
+                yield {"x": jnp.asarray(x), "y": jnp.asarray(x) @ w_true}
+
+        mesh = create_mesh({"data": 8})
+        tr = Trainer(loss_fn, params, optax.adam(0.1), mesh=mesh,
+                     max_steps=60, log_every=10, save_every=10**6,
+                     ema_decay=None, zero3=True)
+        metrics = tr.train(data())
+        assert np.isfinite(metrics["loss"])
+        assert "data" in str(tr.params["w"].sharding.spec)
+
     def test_resume_latest(self, tmp_path):
         loss_fn, params, data = self._setup()
         tr = Trainer(loss_fn, params, optax.adam(0.1),
