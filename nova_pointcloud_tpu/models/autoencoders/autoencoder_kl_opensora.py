@@ -358,6 +358,17 @@ class AutoencoderKLOpenSora(nn.Module):
         x = tiled_temporal_apply(self.decoder, z, self.latent_min_t, 1, 1)
         return x[:, 0] if image else x
 
+    def decode_window(self, z: jax.Array) -> jax.Array:
+        """Decode ONE temporal window (<= latent_min_t latents), no tiling.
+
+        post_quant_conv is a 1x1x1 causal conv (pointwise in time), so
+        splitting windows before it is exact; the image processor loops
+        windows through separate jit programs so only one window's decoder
+        activations live in HBM at a time (a single program holding every
+        window of a 33-frame 480p decode exhausts a 16GB chip).
+        """
+        return self.decoder(self.post_quant_conv(z))
+
     def __call__(self, x: jax.Array, key: Optional[jax.Array] = None):
         dist = self.encode(x)
         z = dist.sample(key) if key is not None else dist.mode()

@@ -19,10 +19,18 @@ class VaeImageProcessor:
         self.vae, self.vae_params = vae, vae_params
         self.micro_batch = micro_batch
         self.host_offload = False  # weights parked in pinned host memory
-        self._decode = None
+        self._decode = self._decode_window = None
         if vae is not None:
             self._decode = jax.jit(lambda p, z: vae.apply(
                 {"params": p}, z, method=vae.decode))
+            if hasattr(vae, "decode_window"):
+                self._decode_window = jax.jit(lambda p, z: vae.apply(
+                    {"params": p}, z, method=vae.decode_window))
+        # uint8 conversion on device: the D2H copy is then 1/4 the bytes of
+        # shipping floats to the host (the axon tunnel is ~27MB/s, so a
+        # 33x480x768 f32 video costs ~5s of pure transfer; uint8 ~1.3s).
+        self._to_u8 = jax.jit(lambda x: jnp.clip(
+            (x.astype(jnp.float32) + 1.0) * 127.5, 0, 255).astype(jnp.uint8))
 
     def device_params(self):
         """VAE params for a call: streamed back into HBM per call when
@@ -39,10 +47,32 @@ class VaeImageProcessor:
             return latents
         z = self.vae.unscale(latents)
         params = self.device_params()
+        windowed = (self._decode_window is not None and z.ndim == 5
+                    and z.shape[1] > self.vae.latent_min_t)
         outs = []
         for i in range(0, z.shape[0], self.micro_batch):
-            outs.append(self._decode(params, z[i: i + self.micro_batch]))
+            zi = z[i: i + self.micro_batch]
+            outs.append(self._decode_video(params, zi) if windowed
+                        else self._decode(params, zi))
         return jnp.concatenate(outs, axis=0)
+
+    def _decode_video(self, params: Any, z: jax.Array) -> jax.Array:
+        """Temporal-tiled video decode, one window per jit program.
+
+        Same window/stitch math as the VAE's own tiled decode (windows of
+        ``latent_min_t`` starting every ``min_t - 1`` latents; non-first
+        outputs drop their first frame), but each window runs as a separate
+        program so its decoder activations are freed before the next window
+        allocates — one-window peak HBM instead of all-windows.
+        """
+        min_t = self.vae.latent_min_t
+        tiles = []
+        for i, start in enumerate(range(0, z.shape[1], min_t - 1)):
+            if start + min_t > z.shape[1]:
+                break
+            out = self._decode_window(params, z[:, start: start + min_t])
+            tiles.append(out[:, 1:] if i else out)
+        return jnp.concatenate(tiles, axis=1)
 
     @staticmethod
     def to_uint8(x) -> np.ndarray:
@@ -58,5 +88,8 @@ class VaeImageProcessor:
         return [Image.fromarray(im) for im in images]
 
     def postprocess(self, samples, output_type: str = "np"):
-        arr = self.to_uint8(samples)
+        if isinstance(samples, jax.Array):
+            arr = np.asarray(self._to_u8(samples))  # uint8 D2H, 4x smaller
+        else:
+            arr = self.to_uint8(samples)
         return self.to_pil(arr) if output_type == "pil" else arr
