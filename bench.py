@@ -277,7 +277,10 @@ def main():
         except Exception:
             pass
     if args.guidance_trunc is None:
-        args.guidance_trunc = 600.0 if args.mode == "t2pc" else 0.0
+        # 800 is CD-guarded: identical chamfer to trunc 600 at every dtype
+        # and guidance scale on both guarded checkpoints
+        # (results/pc_flagship_quality_r5_trunc{600,800}.json, r3 400/600)
+        args.guidance_trunc = 800.0 if args.mode == "t2pc" else 0.0
     from nova_pointcloud_tpu.utils.platform import enable_compilation_cache
 
     enable_compilation_cache()
