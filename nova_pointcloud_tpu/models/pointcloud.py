@@ -399,6 +399,7 @@ class NOVAPointCloudTransformer(nn.Module):
     point_cloud_size: int = 2048
     patch_size: int = 1  # points per token; 1 = per-point like the fork model
     text_token_dim: Optional[int] = None
+    text_pool: str = "masked"  # "masked" (real token slots) | "mean" (legacy)
     num_clusters: int = 8
     use_depth_pe: bool = False
     dropout: float = 0.1
@@ -447,7 +448,20 @@ class NOVAPointCloudTransformer(nn.Module):
 
         if text_embeds is not None and self.text_token_dim:
             t = nn.Dense(dim, dtype=self.dtype, name="text_embed")(text_embeds)
-            h = h + jnp.mean(t, axis=1, keepdims=True)
+            if self.text_pool == "masked":
+                # Pool over REAL token slots only. Encoders pad unused slots
+                # with all-zero rows (dummy.py / phi.py encode contract); a
+                # plain mean over all L slots diluted a 2-token prompt ~L/2×
+                # and the conditioning guard sat at chance on every trained
+                # checkpoint (round 5, docs/evaluation.md). Reference pools
+                # too (`demo.py:281-291`) but over real tokens.
+                live = jnp.any(text_embeds != 0, axis=-1, keepdims=True)
+                live = live.astype(t.dtype)
+                denom = jnp.maximum(jnp.sum(live, axis=1, keepdims=True), 1.0)
+                pooled = jnp.sum(t * live, axis=1, keepdims=True) / denom
+            else:  # "mean": legacy whole-slot mean (pre-round-5 checkpoints)
+                pooled = jnp.mean(t, axis=1, keepdims=True)
+            h = h + pooled
 
         h = BlockStack(depth, dim, heads, dropout=self.dropout,
                        remat=self.remat, quantize=self.quantize,

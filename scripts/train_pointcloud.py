@@ -131,7 +131,7 @@ def main():
                          lr_min=args.lr * args.lr_min_ratio, warmup_steps=200)
     optimizer = optax.chain(
         per_layer_clip(args.grad_clip,
-                       {"output_proj": 0.5, "time_": 0.3, "text_embed": 0.3}),
+                       {"output_proj": 0.5, "time_": 0.3}),
         adaptive_lr_on_spike(explode_norm=args.grad_clip),
         optax.adamw(schedule, weight_decay=0.01),
     )
