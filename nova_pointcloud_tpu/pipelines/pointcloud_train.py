@@ -66,7 +66,23 @@ def make_pc_loss_fn(model, scheduler: DDPMScheduler,
         x_t = scheduler.add_noise(pts, noise, t)
         pred = model.apply({"params": params}, x_t, t, text,
                            deterministic=False, rngs={"dropout": k_d})
-        loss_diff = jnp.mean((pred - noise) ** 2)
+        # Regress against the scheduler's parameterization, not a hardcoded
+        # eps target. v-prediction matters for CONDITIONING on this data:
+        # in eps space the class signal is scaled by sqrt(alpha_bar) and
+        # vanishes exactly at the high-noise steps where the prompt is the
+        # only information; in v space the t=T target IS (minus) the clean
+        # shape, so the text pathway gets O(1) gradient (round-5
+        # class-agnostic diagnosis, docs/evaluation.md).
+        if scheduler.prediction_type == "epsilon":
+            target = noise
+        elif scheduler.prediction_type == "sample":
+            target = pts
+        elif scheduler.prediction_type == "v_prediction":
+            target = scheduler.get_velocity(pts, noise, t)
+        else:
+            raise ValueError(
+                f"Unsupported prediction type {scheduler.prediction_type}.")
+        loss_diff = jnp.mean((pred - target) ** 2)
 
         # reconstruct x0 from the eps prediction for geometric losses
         x0_hat = scheduler.predict_x0(pred, t, x_t)

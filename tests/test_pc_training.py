@@ -79,6 +79,40 @@ class TestCompositeLoss:
         for k in ("loss_diffusion", "loss_chamfer", "loss_emd", "loss_ar"):
             assert k in metrics and np.isfinite(float(metrics[k]))
 
+    def test_loss_target_follows_prediction_type(self):
+        """The diffusion MSE must regress the scheduler's parameterization.
+
+        Closed form with a zero-output stub model: loss_diffusion ==
+        mean(target^2), where target is noise / x0 / v per prediction_type.
+        (Round-5 class-agnostic diagnosis: the eps target carries the class
+        signal scaled by sqrt(alpha_bar); v restores O(1) text gradient at
+        high noise — docs/evaluation.md.)
+        """
+        class ZeroModel:
+            def apply(self, *a, **k):
+                return jnp.zeros_like(a[1])
+
+        pts = jax.random.normal(jax.random.PRNGKey(0), (2, N, 3))
+        batch = {"points": pts, "text": None}
+        cfg = PointCloudLossConfig(use_ar_loss=False)
+        seen = {}
+        for ptype in ("epsilon", "sample", "v_prediction"):
+            sched = DDPMScheduler(beta_schedule="squaredcos_cap_v2",
+                                  prediction_type=ptype)
+            loss_fn = make_pc_loss_fn(ZeroModel(), sched, cfg)
+            _, metrics = loss_fn({}, batch, jax.random.PRNGKey(1))
+            # replicate the loss_fn's own draws (same key split order)
+            k_t, k_n, _, _ = jax.random.split(jax.random.PRNGKey(1), 4)
+            t = sched.sample_timesteps(k_t, (2,))
+            noise = jax.random.normal(k_n, pts.shape)
+            target = {"epsilon": noise, "sample": pts,
+                      "v_prediction": sched.get_velocity(pts, noise, t)}[ptype]
+            expect = float(jnp.mean(target ** 2))
+            got = float(metrics["loss_diffusion"])
+            assert got == pytest.approx(expect, rel=1e-5), ptype
+            seen[ptype] = got
+        assert len({round(v, 6) for v in seen.values()}) == 3  # distinct targets
+
     def test_composite_trains(self):
         model, params = tiny_model()
         sched = DDPMScheduler(beta_schedule="squaredcos_cap_v2")
