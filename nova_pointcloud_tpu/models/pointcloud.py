@@ -45,6 +45,7 @@ PC_ARCHES = {
     "pc_d48w1024": (48, 1024, 16),
     "pc_d48w1536": (48, 1536, 16),
     "pc_d2w64": (2, 64, 2),  # tests
+    "pc_d4w256": (4, 256, 4),  # conditioning micro-A/B (scripts/cond_micro_ab.py)
 }
 
 

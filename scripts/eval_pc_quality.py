@@ -56,6 +56,11 @@ def main():
                     help="fused-kernel attention-core precision for the "
                          "int8 rows (bench.py --attn-core A/B; CD guard "
                          "for the round-4 core variants)")
+    ap.add_argument("--prediction-type", default=None,
+                    choices=("epsilon", "sample", "v_prediction"),
+                    help="override the checkpoint's train_config.json "
+                         "parameterization (default: read the sidecar, "
+                         "else epsilon)")
     args = ap.parse_args()
 
     from nova_pointcloud_tpu.utils.platform import (
@@ -81,6 +86,18 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     normalizer = GlobalNormalizer.load(
         os.path.join(args.checkpoint_dir, "stats.json"))
+    # sample with the parameterization the checkpoint was TRAINED for
+    # (train_pointcloud.py writes the sidecar; eps-sampling a v-model is
+    # silent garbage). CLI --prediction-type still wins if given.
+    prediction_type = args.prediction_type
+    tc_path = os.path.join(args.checkpoint_dir, "train_config.json")
+    if prediction_type is None:
+        if os.path.exists(tc_path):
+            with open(tc_path) as f:
+                prediction_type = json.load(f).get("prediction_type", "epsilon")
+        else:
+            prediction_type = "epsilon"
+    print(f"# prediction_type={prediction_type}")
     shapes = make_synthetic_clouds(args.num_shapes, args.num_points,
                                    args.seed)
     prompts = [s["prompt"] for s in shapes]
@@ -115,7 +132,9 @@ def main():
         if on_tpu:
             params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
         pipe = NOVAPointCloudGenerationPipeline(
-            model, params, DDPMScheduler(beta_schedule="squaredcos_cap_v2"),
+            model, params,
+            DDPMScheduler(beta_schedule="squaredcos_cap_v2",
+                          prediction_type=prediction_type),
             text_encoder=DummyTextEncoder(256, 16))
         return pipe, step
 

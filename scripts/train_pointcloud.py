@@ -9,6 +9,7 @@ tree is given (bootstrap like the reference's Dummy* encoders).
 """
 
 import argparse
+import json
 import os
 import sys
 
@@ -42,6 +43,12 @@ def main():
     ap.add_argument("--cond-dropout", type=float, default=0.1,
                     help="per-sample probability of replacing the prompt "
                          "with '' so the CFG uncond branch is trained")
+    ap.add_argument("--prediction-type", default="epsilon",
+                    choices=("epsilon", "sample", "v_prediction"),
+                    help="diffusion parameterization. v_prediction keeps an "
+                         "O(1) text gradient at high noise (the eps target "
+                         "scales the class signal by sqrt(alpha_bar)) — the "
+                         "round-5 class-agnostic conditioning fix")
     ap.add_argument("--fresh-data", dest="fresh_data", action="store_true",
                     default=None,
                     help="stream freshly-sampled procedural clouds every "
@@ -135,8 +142,19 @@ def main():
         adaptive_lr_on_spike(explode_norm=args.grad_clip),
         optax.adamw(schedule, weight_decay=0.01),
     )
+    from nova_pointcloud_tpu.schedulers import DDPMScheduler
+    sched = DDPMScheduler(beta_schedule="squaredcos_cap_v2",
+                          prediction_type=args.prediction_type)
+    # sidecar so eval_pc_quality samples with the SAME parameterization the
+    # checkpoint was trained for (an eps-sampler on a v-model is silent
+    # garbage)
+    with open(os.path.join(args.output_dir, "train_config.json"), "w") as f:
+        json.dump({"prediction_type": args.prediction_type,
+                   "arch": args.arch, "patch_size": args.patch_size,
+                   "max_points": args.max_points}, f)
     pipe = NOVATrainPointCloudPipeline(
-        model, params, text_encoder=text_encoder, normalizer=normalizer,
+        model, params, scheduler=sched,
+        text_encoder=text_encoder, normalizer=normalizer,
         output_dir=args.output_dir, optimizer=optimizer,
         loss_config=PointCloudLossConfig(num_subsets=args.num_subsets),
         max_steps=args.max_steps, log_every=20, save_every=args.val_every,
@@ -201,7 +219,9 @@ def main():
         patch_size=args.patch_size, text_token_dim=256, dropout=0.0,
         dtype=jnp.bfloat16 if jax.default_backend() == "tpu" else None)
     eval_pipe = NOVAPointCloudGenerationPipeline(
-        eval_model, None, DDPMScheduler(beta_schedule="squaredcos_cap_v2"),
+        eval_model, None,
+        DDPMScheduler(beta_schedule="squaredcos_cap_v2",
+                      prediction_type=args.prediction_type),
         text_encoder=text_encoder)
     evaluator = PointCloudEvaluator(eval_pipe)
 
